@@ -1,0 +1,13 @@
+"""Test configuration: run JAX on a virtual 8-device CPU platform so
+sharding/mesh tests work without TPU hardware (the standard JAX
+fake-multi-device pattern, SURVEY.md §4.5)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
