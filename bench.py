@@ -1,0 +1,85 @@
+"""Headline benchmark: env-steps/s per chip for full PPO training
+(rollout + GAE + minibatched update, all on-device) at 4096 parallel
+games.
+
+Prints ONE JSON line:
+  {"metric": "env_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
+   "vs_baseline": R}
+
+Baseline: the reference design's throughput ceiling is O(10^2-10^3)
+env-steps/s total (Python per-board move generation with per-point
+device syncs, serial 8-env loop — BASELINE.md); we use 1000 steps/s as
+the comparison denominator.
+
+Env knobs: BENCH_ENVS (default 4096), BENCH_T (default 64),
+BENCH_UPDATES (default 3 timed), BENCH_PRESET to override everything.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+REFERENCE_BASELINE_STEPS_PER_SEC = 1000.0
+
+
+def main():
+    from mlp_ppo_2ply_p3_tpu.core.movegen import MovegenConfig
+    from mlp_ppo_2ply_p3_tpu.env import bg_env
+    from mlp_ppo_2ply_p3_tpu.models.mlp import ModelConfig
+    from mlp_ppo_2ply_p3_tpu.ppo import learner
+
+    num_envs = int(os.environ.get("BENCH_ENVS", 4096))
+    t_horizon = int(os.environ.get("BENCH_T", 64))
+    timed_updates = int(os.environ.get("BENCH_UPDATES", 3))
+    max_moves = int(os.environ.get("BENCH_MAX_MOVES", 256))
+
+    env_cfg = bg_env.EnvConfig(movegen=MovegenConfig(max_moves=max_moves))
+    model_cfg = ModelConfig(action_size=max_moves)
+    ppo_cfg = learner.PPOConfig(
+        num_envs=num_envs,
+        t_horizon=t_horizon,
+        num_minibatches=32,
+        normalize_adv=True,
+        normalize_returns=False,
+    )
+
+    ts = learner.init_train_state(jax.random.PRNGKey(0), model_cfg, ppo_cfg)
+    env_state = bg_env.reset(jax.random.PRNGKey(1), env_cfg, num_envs)
+
+    # warmup / compile
+    ts, env_state, metrics = learner.train_step(
+        ts, env_state, env_cfg, model_cfg, ppo_cfg
+    )
+    jax.block_until_ready(metrics)
+
+    t0 = time.time()
+    for _ in range(timed_updates):
+        ts, env_state, metrics = learner.train_step(
+            ts, env_state, env_cfg, model_cfg, ppo_cfg
+        )
+    jax.block_until_ready(metrics)
+    dt = time.time() - t0
+
+    steps = num_envs * t_horizon * timed_updates
+    n_chips = max(1, jax.device_count())
+    sps = steps / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_per_chip",
+                "value": round(sps, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / REFERENCE_BASELINE_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

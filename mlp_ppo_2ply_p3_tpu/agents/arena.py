@@ -1,0 +1,84 @@
+"""League / arena evaluation: pit two policies against each other over a
+batch of lockstep games and measure honest win rates.
+
+Replaces the reference's broken win-rate bookkeeping (SURVEY.md Q8:
+``info["winner"] == info["current_player"]`` is tautologically true, so
+its "win rate" is always 1).  Here the two sides are different policies;
+side assignment alternates across the batch; each game's first
+completion is latched and scored.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..env import bg_env
+
+# A policy maps (state, key) -> (B,) int32 actions.
+Policy = Callable[[bg_env.EnvState, jax.Array], jax.Array]
+
+
+class ArenaResult(NamedTuple):
+    wins_a: jax.Array        # () int32
+    wins_b: jax.Array        # ()
+    finished: jax.Array      # () games that reached a result
+    points_a: jax.Array      # () total match points (gammons count 2, bg 3)
+    points_b: jax.Array      # ()
+    plies: jax.Array         # () total plies played
+
+
+def play(policy_a: Policy, policy_b: Policy, key, env_cfg: bg_env.EnvConfig,
+         n_games: int, max_plies: int = 400) -> ArenaResult:
+    """Play ``n_games`` lockstep; A is player 0 in even games, player 1 in
+    odd games.  Returns first-completion results per game."""
+    k_reset, k_run = jax.random.split(key)
+    state = bg_env.reset(k_reset, env_cfg, n_games)
+    a_side = (jnp.arange(n_games) % 2).astype(jnp.int8)  # A plays this color
+
+    def step_fn(carry, k):
+        state, done_latch, winner_side, game_score = carry
+        k_a, k_b, k_env = jax.random.split(k, 3)
+        act_a = policy_a(state, k_a)
+        act_b = policy_b(state, k_b)
+        actions = jnp.where(state.turn == a_side, act_a, act_b)
+        state, info = bg_env.step(state, actions, k_env, env_cfg)
+        won_now = (info.winner >= 0) & jnp.logical_not(done_latch)
+        winner_side = jnp.where(won_now, info.winner, winner_side)
+        game_score = jnp.where(won_now, info.game_score, game_score)
+        done_latch = done_latch | (info.winner >= 0)
+        return (state, done_latch, winner_side, game_score), None
+
+    init = (
+        state,
+        jnp.zeros((n_games,), bool),
+        jnp.full((n_games,), -1, jnp.int8),
+        jnp.zeros((n_games,), jnp.int32),
+    )
+    keys = jax.random.split(k_run, max_plies)
+    (state, done, winner_side, game_score), _ = jax.lax.scan(step_fn, init, keys)
+
+    a_won = done & (winner_side == a_side)
+    b_won = done & (winner_side == (1 - a_side))
+    return ArenaResult(
+        wins_a=jnp.sum(a_won.astype(jnp.int32)),
+        wins_b=jnp.sum(b_won.astype(jnp.int32)),
+        finished=jnp.sum(done.astype(jnp.int32)),
+        points_a=jnp.sum(jnp.where(a_won, game_score, 0)),
+        points_b=jnp.sum(jnp.where(b_won, game_score, 0)),
+        plies=jnp.asarray(max_plies * n_games, jnp.int32),
+    )
+
+
+def win_rate(result: ArenaResult) -> float:
+    f = max(1, int(result.finished))
+    return float(result.wins_a) / f
+
+
+@partial(jax.jit, static_argnames=("env_cfg", "n_games", "max_plies",
+                                   "policy_a", "policy_b"))
+def play_jit(policy_a, policy_b, key, env_cfg, n_games, max_plies=400):
+    return play(policy_a, policy_b, key, env_cfg, n_games, max_plies)

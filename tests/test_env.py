@@ -1,0 +1,146 @@
+"""Integration tests for the batched functional env against the oracle:
+per-step cross-validation of move lists, committed boards, rewards,
+win/gammon classification, pass/auto-reset branches, and invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mlp_ppo_2ply_p3_tpu.core import oracle
+from mlp_ppo_2ply_p3_tpu.core.movegen import MovegenConfig
+from mlp_ppo_2ply_p3_tpu.env import bg_env
+
+from .test_movegen import canonical_to_abs_np
+
+CFG = bg_env.EnvConfig(movegen=MovegenConfig(max_moves=256))
+B = 8
+
+
+def to_abs_board(state, i) -> np.ndarray:
+    ob = np.zeros(52, dtype=np.int8)
+    ob[0:24] = np.asarray(state.points[i, 0])
+    ob[24:48] = np.asarray(state.points[i, 1])
+    ob[48:50] = np.asarray(state.bar[i])
+    ob[50:52] = np.asarray(state.off[i])
+    return ob
+
+
+def test_reset_protocol():
+    state = bg_env.reset(jax.random.PRNGKey(0), CFG, B)
+    dice = np.asarray(state.dice)
+    assert (dice[:, 0] != dice[:, 1]).all(), "opening roll must be non-doubles"
+    assert set(np.asarray(state.turn).tolist()) <= {0, 1}
+    for i in range(B):
+        ob = to_abs_board(state, i)
+        np.testing.assert_array_equal(ob, oracle.initial_board())
+        # legal moves match the oracle for the opening roll
+        want = oracle.afterstate_set(ob, int(state.turn[i]), dice[i])
+        n = int(state.n_moves[i])
+        got = {
+            canonical_to_abs_np(np.asarray(state.after[i, j]), int(state.turn[i])).tobytes()
+            for j in range(n)
+        }
+        assert got == want
+
+
+def test_step_cross_validated_vs_oracle():
+    key = jax.random.PRNGKey(42)
+    state = bg_env.reset(key, CFG, B)
+    score_shadow = np.zeros((B, 2), dtype=np.int64)
+
+    for t in range(240):
+        key, k_act, k_step = jax.random.split(key, 3)
+        n = np.asarray(state.n_moves)
+        pre_board = [to_abs_board(state, i) for i in range(B)]
+        pre_turn = np.asarray(state.turn).copy()
+        pre_over = np.asarray(state.game_over).copy()
+        pre_dice = np.asarray(state.dice).copy()
+        pre_after = np.asarray(state.after)
+        actions = np.asarray(
+            jax.random.randint(k_act, (B,), 0, jnp.maximum(state.n_moves, 1))
+        )
+
+        # cross-check the cached legal-move list against the oracle
+        if t % 7 == 0:
+            for i in range(B):
+                if pre_over[i]:
+                    continue
+                want = oracle.afterstate_set(pre_board[i], int(pre_turn[i]), pre_dice[i])
+                got = {
+                    canonical_to_abs_np(pre_after[i, j], int(pre_turn[i])).tobytes()
+                    for j in range(n[i])
+                }
+                if len(want) <= CFG.max_moves:
+                    assert len(want) == n[i], f"move count mismatch game {i} step {t}"
+                    assert got == want
+                else:
+                    # width-cap truncation (reference also truncates, at
+                    # 500: backgammon_env.py:219-223)
+                    assert n[i] == CFG.max_moves
+                    assert got <= want
+
+        state, info = bg_env.step(state, jnp.asarray(actions), k_step, CFG)
+        reward = np.asarray(info.reward)
+        done = np.asarray(info.done)
+        winner = np.asarray(info.winner)
+        gs = np.asarray(info.game_score)
+        passed = np.asarray(info.passed)
+
+        for i in range(B):
+            post = to_abs_board(state, i)
+            # checker conservation always
+            for p in (0, 1):
+                assert post[24 * p : 24 * p + 24].sum() + post[48 + p] + post[50 + p] == 15
+            if pre_over[i]:
+                # auto-reset branch: fresh board, done=True, no reward
+                assert done[i] and reward[i] == 0.0
+                np.testing.assert_array_equal(post, oracle.initial_board())
+                d = np.asarray(state.dice[i])
+                assert d[0] != d[1]
+            elif passed[i]:
+                assert n[i] == 0 and reward[i] == 0.0 and not done[i]
+                np.testing.assert_array_equal(post, pre_board[i])
+                assert int(state.turn[i]) == 1 - int(pre_turn[i])
+            else:
+                # committed: new board equals the chosen afterstate
+                expect = canonical_to_abs_np(pre_after[i, actions[i]], int(pre_turn[i]))
+                np.testing.assert_array_equal(post, expect)
+                if winner[i] >= 0:
+                    assert done[i] and winner[i] == pre_turn[i]
+                    # classify win in numpy
+                    w, l = int(pre_turn[i]), 1 - int(pre_turn[i])
+                    assert expect[50 + w] == 15
+                    if expect[50 + l] == 0:
+                        home = range(18, 24) if w == 0 else range(0, 6)
+                        in_home = any(expect[24 * l + h] > 0 for h in home)
+                        on_bar = expect[48 + l] > 0
+                        want_gs = 3 if (in_home or on_bar) else 2
+                    else:
+                        want_gs = 1
+                    assert gs[i] == want_gs
+                    assert reward[i] == {1: 1.0, 2: 1.5, 3: 2.0}[want_gs]
+                    score_shadow[i, w] += want_gs
+                    assert int(state.n_moves[i]) == 0
+                else:
+                    assert reward[i] == 0.0 and not done[i]
+                    assert int(state.turn[i]) == 1 - int(pre_turn[i])
+        np.testing.assert_array_equal(np.asarray(state.score), score_shadow)
+
+    assert score_shadow.sum() > 0, "no game finished in 240 steps (suspicious)"
+
+
+def test_invalid_action_branch():
+    state = bg_env.reset(jax.random.PRNGKey(1), CFG, B)
+    pre = [to_abs_board(state, i) for i in range(B)]
+    bad = jnp.full((B,), CFG.max_moves - 1, jnp.int32)  # beyond n_moves
+    n = np.asarray(state.n_moves)
+    state2, info = bg_env.step(state, bad, jax.random.PRNGKey(2), CFG)
+    for i in range(B):
+        if n[i] < CFG.max_moves - 1 and n[i] > 0:
+            assert np.asarray(info.invalid)[i]
+            assert np.asarray(info.reward)[i] == -1.0
+            np.testing.assert_array_equal(to_abs_board(state2, i), pre[i])
+            assert int(state2.turn[i]) == int(state.turn[i])
+            # retries with the same legal move list
+            assert int(state2.n_moves[i]) == n[i]

@@ -1,0 +1,92 @@
+"""Mesh / sharding tests on the 8-virtual-device CPU platform
+(SURVEY.md §4.5): batch-sharded env stepping, replicated learner with
+automatic gradient all-reduce, and parity of sharded vs single-device
+results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mlp_ppo_2ply_p3_tpu.core.movegen import MovegenConfig
+from mlp_ppo_2ply_p3_tpu.env import bg_env
+from mlp_ppo_2ply_p3_tpu.models.mlp import ModelConfig
+from mlp_ppo_2ply_p3_tpu.parallel import mesh as pmesh
+from mlp_ppo_2ply_p3_tpu.ppo import learner
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+ENV_CFG = bg_env.EnvConfig(movegen=MovegenConfig(max_moves=64, k2=64, k3=64))
+MODEL_CFG = ModelConfig(action_size=64, hidden_size=32)
+
+
+def test_mesh_construction():
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_env_step_matches_single_device():
+    b = 16
+    mesh = pmesh.make_mesh()
+    state = bg_env.reset(jax.random.PRNGKey(0), ENV_CFG, b)
+    actions = jnp.zeros((b,), jnp.int32)
+    key = jax.random.PRNGKey(2)
+    s_single, info_single = bg_env.step(state, actions, key, ENV_CFG)
+
+    sharded = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(pmesh.DATA_AXIS))),
+        state,
+    )
+    s_shard, info_shard = bg_env.step(sharded, actions, key, ENV_CFG)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_single), jax.tree_util.tree_leaves(s_shard)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    np.testing.assert_array_equal(
+        np.asarray(info_single.reward), np.asarray(info_shard.reward)
+    )
+
+
+def test_sharded_train_step_matches_single_device():
+    cfg = learner.PPOConfig(num_envs=16, t_horizon=8, num_epochs=1, num_minibatches=2)
+    ts = learner.init_train_state(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+    env_state = bg_env.reset(jax.random.PRNGKey(1), ENV_CFG, cfg.num_envs)
+
+    ts_a, _, m_a = learner.train_step(ts, env_state, ENV_CFG, MODEL_CFG, cfg)
+
+    mesh = pmesh.make_mesh()
+    ts_sh = pmesh.replicate_tree(ts, mesh)
+    env_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(pmesh.DATA_AXIS))),
+        env_state,
+    )
+    ts_b, _, m_b = learner.train_step(ts_sh, env_sh, ENV_CFG, MODEL_CFG, cfg)
+
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=2e-5
+    )
+    for x, y in zip(
+        jax.tree_util.tree_leaves(ts_a.params), jax.tree_util.tree_leaves(ts_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+
+def test_psum_collective_correctness():
+    """Known per-shard values reduce correctly over the mesh axis."""
+    mesh = pmesh.make_mesh()
+    x = jnp.arange(8, dtype=jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P(pmesh.DATA_AXIS)))
+
+    from jax.experimental.shard_map import shard_map
+
+    f = shard_map(
+        lambda v: jax.lax.psum(v, pmesh.DATA_AXIS),
+        mesh=mesh,
+        in_specs=P(pmesh.DATA_AXIS),
+        out_specs=P(),
+    )
+    out = f(xs)
+    np.testing.assert_allclose(np.asarray(out), [28.0])
