@@ -20,7 +20,8 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+_plat = (os.environ.get("JAX_PLATFORMS") or "axon").split(",")[0]
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"/root/.cache/jax-{_plat}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax

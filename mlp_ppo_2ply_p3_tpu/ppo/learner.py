@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..agents import basic
 from ..env import bg_env
 from ..models import mlp
 
@@ -57,6 +56,13 @@ class PPOConfig:
     use_gae: bool = True            # False -> reference MC returns (Q3)
     normalize_returns: bool = True  # reference normalizes returns (:256)
     normalize_adv: bool = False     # modern PPO normalizes advantages
+    # "index": reference-style blind index head over the padded move list
+    # (ppo_agent.py:138-191).  "afterstate": TD-Gammon-style policy — a
+    # score head evaluates each legal afterstate (the features the
+    # reference computed every step and never used, SURVEY.md Q1); the
+    # rollout stores the candidate afterstate boards so the update can
+    # recompute policy logits without re-running movegen.
+    policy_mode: str = "index"
     # reset envs at the start of every update (reference train.py:40
     # discards in-progress games; False = continue rollouts)
     reset_each_update: bool = False
@@ -78,6 +84,10 @@ class Rollout(NamedTuple):
     value: jax.Array    # (T, B)
     reward: jax.Array   # (T, B)
     done: jax.Array     # (T, B) bool
+    # afterstate mode only (None in index mode): candidate boards + mover,
+    # stored as int8 so the update can recompute policy logits exactly.
+    after: jax.Array | None = None  # (T, B, M, 52) int8 canonical
+    turn: jax.Array | None = None   # (T, B) int8
 
 
 def make_optimizer(cfg: PPOConfig):
@@ -122,20 +132,40 @@ def _masked_logits(params, obs, n_moves, m, model_cfg):
     return masked, value
 
 
+def _afterstate_logits(params, after, turn, n_moves, m, model_cfg):
+    """Score-head logits over legal afterstates (TD-Gammon policy).
+    ``after``: (B, M, 52) canonical boards, ``turn``: (B,) mover."""
+    from ..core import features as F
+
+    feats = jax.vmap(F.encode_canonical)(after, turn)  # (B, M, 198)
+    scores = mlp.score(params, feats, model_cfg)       # (B, M)
+    mask = jnp.arange(m)[None, :] < n_moves[:, None]
+    any_valid = (n_moves > 0)[:, None]
+    return jnp.where(mask | jnp.logical_not(any_valid), scores, -1e9)
+
+
 def rollout(params, env_state, key, env_cfg, model_cfg, cfg: PPOConfig):
     """Collect T steps; returns (env_state', Rollout, last_value)."""
     m = env_cfg.max_moves
+    afterstate = cfg.policy_mode == "afterstate"
 
     def step_fn(carry, _):
         es, k = carry
         k, k_act, k_env = jax.random.split(k, 3)
         obs = bg_env.observe(es)
-        masked, value = _masked_logits(params, obs, es.n_moves, m, model_cfg)
+        if afterstate:
+            _, value = mlp.forward(params, obs, model_cfg)
+            masked = _afterstate_logits(
+                params, es.after, es.turn, es.n_moves, m, model_cfg
+            )
+        else:
+            masked, value = _masked_logits(params, obs, es.n_moves, m, model_cfg)
         action = jax.random.categorical(k_act, masked, axis=-1).astype(jnp.int32)
         logp = jnp.take_along_axis(
             jax.nn.log_softmax(masked, axis=-1), action[:, None], axis=1
         )[:, 0]
         n_moves = es.n_moves
+        pre_after, pre_turn = es.after, es.turn
         es, info = bg_env.step(es, action, k_env, env_cfg)
         out = Rollout(
             obs=obs,
@@ -145,6 +175,8 @@ def rollout(params, env_state, key, env_cfg, model_cfg, cfg: PPOConfig):
             value=value,
             reward=info.reward,
             done=info.done,
+            after=pre_after if afterstate else None,
+            turn=pre_turn if afterstate else None,
         )
         return (es, k), out
 
@@ -157,8 +189,13 @@ def rollout(params, env_state, key, env_cfg, model_cfg, cfg: PPOConfig):
 
 
 def _loss_fn(params, batch, ent_coef, m, model_cfg, cfg: PPOConfig):
-    obs, n_moves, action, old_logp, returns, adv = batch
-    masked, value = _masked_logits(params, obs, n_moves, m, model_cfg)
+    if cfg.policy_mode == "afterstate":
+        obs, n_moves, action, old_logp, returns, adv, after, turn = batch
+        _, value = mlp.forward(params, obs, model_cfg)
+        masked = _afterstate_logits(params, after, turn, n_moves, m, model_cfg)
+    else:
+        obs, n_moves, action, old_logp, returns, adv = batch
+        masked, value = _masked_logits(params, obs, n_moves, m, model_cfg)
     logp_all = jax.nn.log_softmax(masked, axis=-1)
     new_logp = jnp.take_along_axis(logp_all, action[:, None], axis=1)[:, 0]
     ratio = jnp.exp(new_logp - old_logp)
@@ -202,6 +239,11 @@ def ppo_update(ts: TrainState, traj: Rollout, last_value, env_cfg, model_cfg,
         returns.reshape(n),
         adv.reshape(n),
     )
+    if cfg.policy_mode == "afterstate":
+        flat = flat + (
+            traj.after.reshape(n, m, 52),
+            traj.turn.reshape(n),
+        )
     nmb = cfg.num_minibatches
     mb_size = n // nmb
     optimizer = make_optimizer(cfg)

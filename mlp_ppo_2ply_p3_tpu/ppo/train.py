@@ -18,11 +18,36 @@ import time
 
 import jax
 
+from ..agents import arena, basic, pubeval
 from ..env import bg_env
 from ..utils import checkpoint as ckpt
 from ..utils.config import get_preset
 from ..utils.metrics import MetricsWriter
 from . import learner
+
+
+def league_eval(cfg, params, key):
+    """Honest quality metric (fixes SURVEY.md Q8): win rate of the
+    current policy (argmax mode) vs the fixed linear baseline."""
+    weights = pubeval.default_weights()
+
+    if cfg.ppo.policy_mode == "afterstate":
+        def pol(state, k):
+            return basic.afterstate_policy(params, state, k, cfg.model, sample=False)
+    else:
+        def pol(state, k):
+            return basic.index_policy(params, state, k, cfg.model, sample=False)
+
+    def base(state, k):
+        return pubeval.pubeval_actions(weights, state)
+
+    res = arena.play(pol, base, key, cfg.env, cfg.eval_games, max_plies=400)
+    return {
+        "league/win_rate_vs_baseline": arena.win_rate(res),
+        "league/finished": int(res.finished),
+        "league/points_per_game": float(res.points_a)
+        / max(1, int(res.finished)),
+    }
 
 
 def train(cfg, resume: bool = True, updates: int | None = None,
@@ -59,6 +84,14 @@ def train(cfg, resume: bool = True, updates: int | None = None,
         metrics["steps_per_sec"] = steps_per_update / dt
         metrics["update_time_s"] = dt
         last_metrics = metrics
+        if cfg.eval_every and (update + 1) % cfg.eval_every == 0:
+            k_eval = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7), update)
+            ev = league_eval(cfg, ts.params, k_eval)
+            metrics.update(ev)
+            print(
+                f"  league: win_rate={ev['league/win_rate_vs_baseline']:.3f} "
+                f"({ev['league/finished']} games)"
+            )
         if update % cfg.log_every == 0:
             writer.write(update, metrics)
             print(

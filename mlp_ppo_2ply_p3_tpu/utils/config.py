@@ -45,6 +45,8 @@ class RunConfig:
     checkpoint_dir: str = "checkpoints"
     metrics_path: str = "metrics.jsonl"
     log_every: int = 1
+    eval_every: int = 25          # league eval cadence (0 disables)
+    eval_games: int = 256         # arena games vs the fixed baseline
 
 
 def _env(max_moves: int) -> EnvConfig:
@@ -84,6 +86,8 @@ _register(
         model=ModelConfig(action_size=128),
         ppo=PPOConfig(num_envs=8, t_horizon=64, num_minibatches=2),
         num_updates=5,
+        eval_every=3,
+        eval_games=16,
     )
 )
 
@@ -108,6 +112,23 @@ _register(
             num_minibatches=32,
             normalize_adv=True,
             normalize_returns=False,
+        ),
+        num_updates=1000,
+    )
+)
+
+_register(
+    RunConfig(
+        name="afterstate4096",
+        env=_env(128),
+        model=ModelConfig(action_size=128),
+        ppo=PPOConfig(
+            num_envs=4096,
+            t_horizon=64,
+            num_minibatches=32,
+            normalize_adv=True,
+            normalize_returns=False,
+            policy_mode="afterstate",
         ),
         num_updates=1000,
     )

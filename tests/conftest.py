@@ -20,7 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Persistent compilation cache: movegen/env graphs take seconds to
 # compile; caching speeds up repeated sessions.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax

@@ -57,6 +57,25 @@ def test_entropy_coef_schedule():
     assert c1 < cm < c0
 
 
+def test_afterstate_policy_mode():
+    """TD-Gammon-style afterstate policy: rollout stores candidate boards
+    and the update recomputes score-head logits from them."""
+    cfg = learner.PPOConfig(
+        num_envs=4, t_horizon=12, num_epochs=2, num_minibatches=2,
+        policy_mode="afterstate",
+    )
+    ts = learner.init_train_state(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+    env_state = bg_env.reset(jax.random.PRNGKey(1), ENV_CFG, cfg.num_envs)
+    ts2, _, metrics = learner.train_step(ts, env_state, ENV_CFG, MODEL_CFG, cfg)
+    assert np.isfinite(float(metrics["loss"]))
+    assert _tree_l2_diff(ts.params, ts2.params) > 0
+    # the score head must receive gradient in this mode
+    d_score = float(
+        jnp.sum((ts.params["score"]["w"] - ts2.params["score"]["w"]) ** 2)
+    )
+    assert d_score > 0, "score head did not train"
+
+
 def test_reference_semantics_preset():
     """MC-returns / full-batch / no-clipping mode (parity with reference
     learner quirks Q3/Q4) runs and is finite."""
