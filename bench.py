@@ -26,6 +26,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 
+# The image boots every process with the remote-TPU PJRT plugin ("axon")
+# regardless of JAX_PLATFORMS; honor an explicit cpu request (see
+# tests/conftest.py for the same workaround).
+if _plat == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+    except Exception:
+        pass
+
 REFERENCE_BASELINE_STEPS_PER_SEC = 1000.0
 
 

@@ -19,15 +19,18 @@ runs under ``jit``/``vmap`` for thousands of games in lockstep:
   non-decreasing origin order (a completeness-preserving
   canonicalization: arrivals at an origin only ever come from lower
   origins, opponent blocking is static within a turn, and bear-off
-  legality is monotone in clearing lower points), with sort-based
-  dedup + width capping between levels.  The final list is the deepest
-  non-empty level, matching the reference's record-shorter-sequences +
-  max-length-filter behavior.
+  legality is monotone in clearing lower points).  The canonicalization
+  also makes every level duplicate-free (see ``_doubles``), so levels
+  are plain stable compactions — no sorting anywhere on the doubles
+  path.  The final list is the deepest non-empty level, matching the
+  reference's record-shorter-sequences + max-length-filter behavior.
 
-Output ordering: non-doubles lists are in reference generation order;
-doubles lists are in canonical (packed-board-key) order.  Both are
-deterministic; parity with the reference is at the afterstate-set level
-(see tests/test_movegen.py).
+All compactions use a cumsum + binary-search + gather formulation
+(``_compact``) rather than scatters, which XLA:TPU would serialize.
+
+Output ordering: both lists are in deterministic generation order
+(non-doubles: reference generation order); parity with the reference is
+at the afterstate-set level (see tests/test_movegen.py).
 
 Width caps (empirical maxima measured with the oracle over ~25k
 position/roll pairs: non-doubles final 84, doubles L2 43, L3 146, final
@@ -41,7 +44,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from . import board as B
 from .constants import NUM_CHECKERS
@@ -54,10 +56,11 @@ class MovegenConfig:
     459; non-doubles final 93.  Overflow is reported per call so
     saturation is observable in production metrics."""
 
-    max_moves: int = 256   # M: final list width (reference env cap: 500)
-    k1: int = 16           # first-level frontier (hard bound: 15 origins)
-    k2: int = 96           # doubles frontier after 2 submoves
-    k3: int = 224          # doubles frontier after 3 submoves
+    max_moves: int = 256    # M: final list width (reference env cap: 500)
+    k1: int = 16            # first-level frontier (hard bound: 15 origins)
+    k2: int = 96            # doubles frontier after 2 submoves
+    k3: int = 224           # doubles frontier after 3 submoves
+    dedup_width: int = 256  # non-doubles raw-candidate block fed to dedup
 
 
 _ORIGINS = jnp.arange(25, dtype=jnp.int32)
@@ -83,65 +86,48 @@ def _expand_one_die(boards, valid, die):
 
 
 def _compact(payloads, valid, k_out):
-    """Stable-compact valid rows to the front of a width-``k_out`` buffer
-    (scatter by prefix-sum position; order preserved).  ``payloads`` is a
-    tuple of arrays with leading dim N.  Returns (payloads_out, n)."""
-    n_in = valid.shape[0]
-    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    idx = jnp.where(valid, pos, k_out)  # invalid rows -> dropped overflow row
+    """Stable-compact valid rows to the front of a width-``k_out`` buffer;
+    order preserved.  ``payloads`` is a tuple of arrays with leading dim N.
+    Returns (payloads_out, n).
+
+    Gather formulation (TPU-friendly): the source index of output slot j
+    is found by binary search over the running count of valid rows.  A
+    scatter formulation (``buf.at[idx].set``) has non-unique indices
+    (every invalid row maps to the overflow slot), which XLA:TPU cannot
+    parallelize; cumsum + searchsorted + gather is dense and fast."""
+    pos = jnp.cumsum(valid.astype(jnp.int32))  # running count, 1-indexed
+    n = pos[-1]
+    targets = jnp.arange(1, k_out + 1, dtype=jnp.int32)
+    # searchsorted(pos, targets, 'left') as a dense compare-all reduction:
+    # a log-depth binary-search loop would serialize into ~13 tiny gather
+    # kernels under vmap, while this is one fused (k_out, N) reduce.
+    idx = jnp.sum(
+        (pos[None, :] < targets[:, None]).astype(jnp.int32), axis=1
+    )
+    idx = jnp.minimum(idx, valid.shape[0] - 1)
+    row_ok = targets <= n
     outs = []
     for p in payloads:
-        buf = jnp.zeros((k_out + 1,) + p.shape[1:], dtype=p.dtype)
-        outs.append(buf.at[idx].set(p, mode="drop")[:k_out])
-    n = jnp.sum(valid.astype(jnp.int32))
+        sel = jnp.take(p, idx, axis=0)
+        mask = row_ok.reshape((k_out,) + (1,) * (p.ndim - 1))
+        outs.append(jnp.where(mask, sel, jnp.zeros((), p.dtype)))
     return tuple(outs), n
 
 
-def _sort_mark_unique(boards, valid, rank):
-    """Sort candidates by (validity, board key, rank) and mark the first
-    row of each unique valid board.  Returns arrays in SORTED order:
-    (boards_s, rank_s, keep_s, orig_index_s)."""
-    n = boards.shape[0]
-    keys = jax.vmap(B.pack_key)(boards)  # (N,7)
-    inv = jnp.logical_not(valid).astype(jnp.int32)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    ops = (inv,) + tuple(keys[:, i] for i in range(7)) + (
-        rank.astype(jnp.int32),
-        iota,
-    )
-    s = lax.sort(ops, num_keys=9)
-    s_inv = s[0]
-    s_keys = jnp.stack(s[1:8], axis=1)  # (N,7)
-    s_rank, s_iota = s[8], s[9]
-    same_as_prev = jnp.all(s_keys[1:] == s_keys[:-1], axis=1) & (
-        s_inv[1:] == s_inv[:-1]
-    )
-    uniq = jnp.concatenate([jnp.ones((1,), bool), jnp.logical_not(same_as_prev)])
-    keep = (s_inv == 0) & uniq
-    boards_s = jnp.take(boards, s_iota, axis=0)
-    return boards_s, s_rank, keep, s_iota
-
-
-def _dedup_compact_frontier(boards, valid, rank, k_out):
-    """Doubles frontier step: dedup by board (keeping the minimum
-    last-origin rank, which permits the superset of continuations under
-    the non-decreasing-origin constraint) and compact to ``k_out``.
-    Output is in canonical key order.  Returns (boards, rank, n)."""
-    boards_s, rank_s, keep, _ = _sort_mark_unique(boards, valid, rank)
-    (b_out, r_out), n = _compact((boards_s, rank_s), keep, k_out)
-    return b_out, r_out, n
-
-
-def _dedup_genorder(boards, valid):
+def _dedup_pairwise(boards, valid):
     """First-occurrence dedup flags in ORIGINAL (generation) order:
-    keep[i] iff row i is valid and is the minimum-index instance of its
+    keep[i] iff row i is valid and no earlier valid row holds the same
     board (reference add_unique_board semantics,
-    handle_moves.py:313-341)."""
-    n = boards.shape[0]
-    iota_rank = jnp.arange(n, dtype=jnp.int32)
-    _, _, keep_s, s_iota = _sort_mark_unique(boards, valid, iota_rank)
-    keep = jnp.zeros((n,), bool).at[s_iota].set(keep_s)
-    return keep
+    handle_moves.py:313-341).  Dense (K, K) packed-key comparison — pure
+    vector ops, far faster on TPU than a multi-key sort for the K <= a
+    few hundred rows that reach this point."""
+    keys = jax.vmap(B.pack_key)(boards)  # (K,7)
+    eq = jnp.all(keys[:, None, :] == keys[None, :, :], axis=-1)
+    eq = eq & valid[:, None] & valid[None, :]
+    k = boards.shape[0]
+    earlier = jnp.tril(jnp.ones((k, k), bool), -1)
+    dup = jnp.any(eq & earlier, axis=1)
+    return valid & jnp.logical_not(dup)
 
 
 def _embed(boards, n, m):
@@ -207,11 +193,17 @@ def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig):
             jnp.full((k1,), 1, jnp.int32),
         ]
     )
-    keep = _dedup_genorder(cand_boards, cand_valid) & cand_valid
-    max_len = jnp.max(jnp.where(keep, seqlen, 0))
-    final = keep & (seqlen == max_len)
-    (out,), n = _compact((cand_boards,), final, cfg.max_moves)
-    overflow = n > cfg.max_moves
+    # stable-compact the raw candidates first so the dedup works on a
+    # small dense block; generation order (hence first-occurrence
+    # semantics) is preserved.
+    kd = cfg.dedup_width
+    (cb, cs), n_raw = _compact((cand_boards, seqlen), cand_valid, kd)
+    kv = jnp.arange(kd) < jnp.minimum(n_raw, kd)
+    keep = _dedup_pairwise(cb, kv)
+    max_len = jnp.max(jnp.where(keep, cs, 0))
+    final = keep & (cs == max_len)
+    (out,), n = _compact((cb,), final, cfg.max_moves)
+    overflow = (n_raw > kd) | (n > cfg.max_moves)
     return out, jnp.minimum(n, cfg.max_moves), overflow
 
 
@@ -219,8 +211,15 @@ def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig):
 
 
 def _doubles(vec, die, cfg: MovegenConfig):
+    """Depth-4 frontier expansion with non-decreasing-origin
+    canonicalization and NO dedup: none is needed.  Distinct
+    non-decreasing origin sequences are exactly the origin multisets,
+    and an origin multiset is recoverable from the board delta (induct
+    from the lowest point: checkers leaving point o equal arrivals from
+    o-die (and the bar for o = die-1) minus the observed delta), so two
+    different frontier rows can never hold the same board.  Each level
+    is therefore a plain stable compaction of the valid expansions."""
     m = cfg.max_moves
-    # L1: distinct origins always give distinct boards -> no dedup needed
     v1, d1, h1 = B.submoves_one_die(vec, die)
     b1 = jax.vmap(B.apply_submove, (None, 0, 0, 0))(vec, _ORIGINS, d1, h1)
     rank1 = jnp.where(_ORIGINS == B.ORIGIN_BAR, -1, _ORIGINS)
@@ -234,18 +233,18 @@ def _doubles(vec, die, cfg: MovegenConfig):
         parent_rank = jnp.repeat(fr, 25)
         ev = ev & (erank >= parent_rank)
         has = jnp.any(ev)
-        nb, nr, n = _dedup_compact_frontier(eb, ev, erank, k_out)
+        (nb, nr), n = _compact((eb, erank), ev, k_out)
         nv = jnp.arange(k_out) < jnp.minimum(n, k_out)
         return nb, nr, nv, n, has
 
     f2b, f2r, f2v, n2, has2 = level(f1b, f1r, f1v, cfg.k2)
     f3b, f3r, f3v, n3, has3 = level(f2b, f2r, f2v, cfg.k3)
-    # final level: dedup straight into the M-wide output
+    # final level: compact straight into the M-wide output
     e4b, e4v, e4o = _expand_one_die(f3b, f3v, die)
     e4rank = jnp.where(e4o == B.ORIGIN_BAR, -1, e4o)
     e4v = e4v & (e4rank >= jnp.repeat(f3r, 25))
     has4 = jnp.any(e4v)
-    f4b, _, n4 = _dedup_compact_frontier(e4b, e4v, e4rank, m)
+    (f4b, _), n4 = _compact((e4b, e4rank), e4v, m)
 
     # deepest non-empty level is the legal move list
     l1b, l1n = _embed(f1b, n1, m)
@@ -264,6 +263,62 @@ def _doubles(vec, die, cfg: MovegenConfig):
 
 
 # --- public entry -----------------------------------------------------------
+
+
+def doubles_capacity(batch_size: int) -> int:
+    """Static width of the doubles sub-batch in
+    ``legal_afterstates_batch``.  Doubles are Binomial(B, 1/6):
+    ``B//4 + 64`` sits >12 sigma above the mean for every B >= 512, so
+    saturation is practically impossible (and is reported via the
+    overflow flag if it ever happens)."""
+    if batch_size < 512:
+        return batch_size
+    return batch_size // 4 + 64
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def legal_afterstates_batch(vecs, dice, cfg: MovegenConfig = MovegenConfig()):
+    """Batched legal-move enumeration with doubles partitioning.
+
+    Only ~1/6 of games roll doubles, but the doubles kernel (depth-4
+    frontier expansion) costs several times the non-doubles one.  Running
+    it on all B games in lockstep wastes >4x the work: instead the
+    doubles games are stable-compacted into a ``doubles_capacity(B)``
+    sub-batch, expanded there, and gathered back.  All shapes static.
+
+    Args:
+      vecs:  (B, 52) int8 canonical boards (current player to move).
+      dice:  (B, 2) integer dice.
+      cfg:   static width configuration.
+
+    Returns: (boards (B, M, 52), n_moves (B,), overflow (B,)).
+    """
+    bsz = vecs.shape[0]
+    d0 = dice[:, 0].astype(jnp.int32)
+    d1 = dice[:, 1].astype(jnp.int32)
+    is_double = d0 == d1
+    d_hi, d_lo = jnp.maximum(d0, d1), jnp.minimum(d0, d1)
+
+    nd_out, nd_n, nd_of = jax.vmap(lambda v, h, l: _nondoubles(v, h, l, cfg))(
+        vecs, d_hi, d_lo
+    )
+
+    bd = doubles_capacity(bsz)
+    (dvecs, ddie), n_dbl = _compact((vecs, d0), is_double, bd)
+    db_out, db_n, db_of = jax.vmap(lambda v, d: _doubles(v, d, cfg))(dvecs, ddie)
+
+    pos = jnp.cumsum(is_double.astype(jnp.int32))  # 1-indexed doubles slot
+    slot = jnp.clip(pos - 1, 0, bd - 1)
+    fits = is_double & (pos <= bd)
+    out = jnp.where(is_double[:, None, None], db_out[slot], nd_out)
+    n = jnp.where(is_double, jnp.where(fits, db_n[slot], 0), nd_n)
+    of = jnp.where(
+        is_double, db_of[slot] | jnp.logical_not(fits), nd_of
+    )
+
+    game_over = vecs[:, B.MY_OFF].astype(jnp.int32) >= NUM_CHECKERS
+    n = jnp.where(game_over, 0, n)
+    return out, n, of
 
 
 @partial(jax.jit, static_argnames=("cfg",))

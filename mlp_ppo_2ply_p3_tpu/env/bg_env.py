@@ -47,7 +47,7 @@ from ..core.constants import (
     REWARD_WIN_GAMMON,
     REWARD_WIN_NORMAL,
 )
-from ..core.movegen import MovegenConfig, legal_afterstates
+from ..core.movegen import MovegenConfig, legal_afterstates_batch
 
 import numpy as np
 
@@ -111,21 +111,19 @@ def _fresh_game(key):
     return _INIT_POINTS, _ZERO2, _ZERO2, turn, first_dice
 
 
-def _movegen(points, bar, off, turn, dice_, cfg: EnvConfig):
-    vec = B.to_canonical(points, bar, off, turn)
-    return legal_afterstates(vec, dice_, cfg.movegen)
+def _movegen_batch(points, bar, off, turn, dice_, cfg: EnvConfig):
+    """Batched movegen: (B,...) absolute arrays -> (after, n, overflow).
+    Uses the doubles-partitioned kernel (core.movegen) so only games
+    that actually rolled doubles pay the depth-4 expansion."""
+    vecs = jax.vmap(B.to_canonical)(points, bar, off, turn)
+    return legal_afterstates_batch(vecs, dice_, cfg.movegen)
 
 
 @partial(jax.jit, static_argnames=("cfg", "batch_size"))
 def reset(key, cfg: EnvConfig, batch_size: int) -> EnvState:
     keys = jax.random.split(key, batch_size)
-
-    def one(k):
-        pts, bar_, off_, turn, dc = _fresh_game(k)
-        after, n, ovf = _movegen(pts, bar_, off_, turn, dc, cfg)
-        return pts, bar_, off_, turn, dc, after, n, ovf
-
-    pts, bar_, off_, turn, dc, after, n, ovf = jax.vmap(one)(keys)
+    pts, bar_, off_, turn, dc = jax.vmap(_fresh_game)(keys)
+    after, n, ovf = _movegen_batch(pts, bar_, off_, turn, dc, cfg)
     zb = jnp.zeros((batch_size,), bool)
     return EnvState(
         points=pts,
@@ -143,7 +141,8 @@ def reset(key, cfg: EnvConfig, batch_size: int) -> EnvState:
 
 
 def _step_one(s, action, key, cfg: EnvConfig):
-    """Single-game step; vmapped over the batch by ``step``."""
+    """Single-game step EXCEPT the legal-move recomputation (done batched
+    by ``step`` afterwards); vmapped over the batch."""
     k_fresh, k_roll = jax.random.split(key)
 
     was_over = s.game_over
@@ -223,10 +222,6 @@ def _step_one(s, action, key, cfg: EnvConfig):
     )
     game_over = jnp.where(was_over, False, s.game_over | win)
 
-    # --- legal moves for the next position ---------------------------------
-    after, n_mv, ovf = _movegen(n_pts, n_bar, n_off, n_turn, n_dice, cfg)
-    n_mv = jnp.where(game_over, 0, n_mv)
-
     ns = EnvState(
         points=n_pts,
         bar=n_bar,
@@ -236,9 +231,9 @@ def _step_one(s, action, key, cfg: EnvConfig):
         score=score,
         game_over=game_over,
         match_over=match_over,
-        after=after,
-        n_moves=n_mv,
-        overflow=ovf,
+        after=s.after,       # stale; replaced batched in ``step``
+        n_moves=s.n_moves,   # stale; replaced batched in ``step``
+        overflow=s.overflow,
     )
     info = StepInfo(
         reward=reward,
@@ -256,7 +251,15 @@ def step(state: EnvState, actions, key, cfg: EnvConfig):
     """Advance all B games one half-turn.  Returns (state', StepInfo)."""
     bsz = state.turn.shape[0]
     keys = jax.random.split(key, bsz)
-    return jax.vmap(lambda s, a, k: _step_one(s, a, k, cfg))(state, actions, keys)
+    ns, info = jax.vmap(lambda s, a, k: _step_one(s, a, k, cfg))(
+        state, actions, keys
+    )
+    after, n_mv, ovf = _movegen_batch(
+        ns.points, ns.bar, ns.off, ns.turn, ns.dice, cfg
+    )
+    n_mv = jnp.where(ns.game_over, 0, n_mv)
+    ns = ns._replace(after=after, n_moves=n_mv, overflow=ovf)
+    return ns, info
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -265,9 +268,7 @@ def make_state(points, bar, off, turn, dice_, cfg: EnvConfig) -> EnvState:
     tests, analysis tools, and position setup.  Computes the legal-move
     cache; scores/flags zeroed."""
     bsz = turn.shape[0]
-    after, n, ovf = jax.vmap(lambda p, b, o, t, d: _movegen(p, b, o, t, d, cfg))(
-        points, bar, off, turn, dice_
-    )
+    after, n, ovf = _movegen_batch(points, bar, off, turn, dice_, cfg)
     zb = jnp.zeros((bsz,), bool)
     return EnvState(
         points=points.astype(jnp.int8),
