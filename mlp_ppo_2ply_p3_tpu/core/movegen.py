@@ -60,7 +60,9 @@ class MovegenConfig:
     k1: int = 16            # first-level frontier (hard bound: 15 origins)
     k2: int = 96            # doubles frontier after 2 submoves
     k3: int = 224           # doubles frontier after 3 submoves
-    dedup_width: int = 256  # non-doubles raw-candidate block fed to dedup
+    dedup_width: int = 384  # non-doubles raw-candidate block fed to dedup
+                            # (max raw count seen over 100k random
+                            # board-steps: 251; theoretical cap 482)
 
 
 _ORIGINS = jnp.arange(25, dtype=jnp.int32)
@@ -87,30 +89,28 @@ def _expand_one_die(boards, valid, die):
 
 def _compact(payloads, valid, k_out):
     """Stable-compact valid rows to the front of a width-``k_out`` buffer;
-    order preserved.  ``payloads`` is a tuple of arrays with leading dim N.
-    Returns (payloads_out, n).
+    order preserved.  ``payloads`` is a tuple of arrays with leading dim N
+    whose values must be small integers (|v| <= 255 — board counts <= 15,
+    origin ranks <= 24, dice <= 6).  Returns (payloads_out, n).
 
-    Gather formulation (TPU-friendly): the source index of output slot j
-    is found by binary search over the running count of valid rows.  A
-    scatter formulation (``buf.at[idx].set``) has non-unique indices
-    (every invalid row maps to the overflow slot), which XLA:TPU cannot
-    parallelize; cumsum + searchsorted + gather is dense and fast."""
+    The gather is a one-hot bfloat16 matmul: output slot j picks the row
+    whose running valid-count equals j+1, so each output element is a
+    single 0/1 x small-int product — exact in bf16 — and the whole
+    compaction rides the MXU.  Measured on TPU v5e at (4096, 832, 52):
+    one-hot matmul 6.4 ms vs row-gather 65 ms, sort+gather 49 ms, and
+    scatter 41 ms (XLA lowers small-row gathers/scatters poorly)."""
     pos = jnp.cumsum(valid.astype(jnp.int32))  # running count, 1-indexed
     n = pos[-1]
     targets = jnp.arange(1, k_out + 1, dtype=jnp.int32)
-    # searchsorted(pos, targets, 'left') as a dense compare-all reduction:
-    # a log-depth binary-search loop would serialize into ~13 tiny gather
-    # kernels under vmap, while this is one fused (k_out, N) reduce.
-    idx = jnp.sum(
-        (pos[None, :] < targets[:, None]).astype(jnp.int32), axis=1
-    )
-    idx = jnp.minimum(idx, valid.shape[0] - 1)
-    row_ok = targets <= n
+    onehot = (pos[None, :] == targets[:, None]) & valid[None, :]
+    oh = onehot.astype(jnp.bfloat16)  # (k_out, N); <=1 nonzero per row
     outs = []
     for p in payloads:
-        sel = jnp.take(p, idx, axis=0)
-        mask = row_ok.reshape((k_out,) + (1,) * (p.ndim - 1))
-        outs.append(jnp.where(mask, sel, jnp.zeros((), p.dtype)))
+        squeeze = p.ndim == 1
+        mat = p[:, None] if squeeze else p
+        sel = oh @ mat.astype(jnp.bfloat16)
+        sel = sel[:, 0] if squeeze else sel
+        outs.append(sel.astype(p.dtype))
     return tuple(outs), n
 
 
