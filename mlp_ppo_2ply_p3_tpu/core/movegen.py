@@ -54,7 +54,8 @@ class MovegenConfig:
     """Static width caps.  Empirical maxima over ~35k reachable
     position/roll pairs (oracle playouts): doubles L2 44, L3 161, final
     459; non-doubles final 93.  Overflow is reported per call so
-    saturation is observable in production metrics."""
+    saturation is observable in production metrics (the trainer can warn
+    or abort on it, see ppo.train overflow_policy)."""
 
     max_moves: int = 256    # M: final list width (reference env cap: 500)
     k1: int = 16            # first-level frontier (hard bound: 15 origins)
@@ -63,6 +64,23 @@ class MovegenConfig:
     dedup_width: int = 384  # non-doubles raw-candidate block fed to dedup
                             # (max raw count seen over 100k random
                             # board-steps: 251; theoretical cap 482)
+    # doubles sub-batch capacity = B // dbl_div + dbl_add for B >= 512
+    # (see doubles_capacity)
+    dbl_div: int = 4
+    dbl_add: int = 64
+
+    @classmethod
+    def fast(cls, max_moves: int = 256) -> "MovegenConfig":
+        """Throughput preset: width caps tightened to the measured maxima
+        plus margin (L2 44 -> 80, L3 161 -> 192, non-doubles raw 251 ->
+        288) and the doubles sub-batch at mean + 8 sigma of Binomial(B,
+        1/6) instead of +17 sigma.  Saturation remains observable via the
+        overflow flag; pair with a warn/abort overflow policy in the
+        trainer."""
+        return cls(
+            max_moves=max_moves, k2=80, k3=192, dedup_width=288,
+            dbl_div=5, dbl_add=56,
+        )
 
 
 _ORIGINS = jnp.arange(25, dtype=jnp.int32)
@@ -90,25 +108,32 @@ def _expand_one_die(boards, valid, die):
 def _compact(payloads, valid, k_out):
     """Stable-compact valid rows to the front of a width-``k_out`` buffer;
     order preserved.  ``payloads`` is a tuple of arrays with leading dim N
-    whose values must be small integers (|v| <= 255 — board counts <= 15,
-    origin ranks <= 24, dice <= 6).  Returns (payloads_out, n).
+    whose values must fit int8 (|v| <= 127 — board counts <= 15, origin
+    ranks <= 24, dice <= 6).  Returns (payloads_out, n).
 
-    The gather is a one-hot bfloat16 matmul: output slot j picks the row
-    whose running valid-count equals j+1, so each output element is a
-    single 0/1 x small-int product — exact in bf16 — and the whole
-    compaction rides the MXU.  Measured on TPU v5e at (4096, 832, 52):
-    one-hot matmul 6.4 ms vs row-gather 65 ms, sort+gather 49 ms, and
-    scatter 41 ms (XLA lowers small-row gathers/scatters poorly)."""
+    The gather is a one-hot int8 matmul with int32 accumulation: output
+    slot j picks the row whose running valid-count equals j+1, so each
+    output element is a single 0/1 x int8 product — exact — and the
+    whole compaction rides the MXU (TPU int8 matmul is native and runs
+    at 2x bf16 rate with half the one-hot + payload memory traffic).
+    Row-gather / sort+gather / scatter alternatives measured 6-10x
+    slower on TPU v5e at (4096, 832, 52): XLA lowers small-row
+    gathers/scatters poorly."""
     pos = jnp.cumsum(valid.astype(jnp.int32))  # running count, 1-indexed
     n = pos[-1]
     targets = jnp.arange(1, k_out + 1, dtype=jnp.int32)
     onehot = (pos[None, :] == targets[:, None]) & valid[None, :]
-    oh = onehot.astype(jnp.bfloat16)  # (k_out, N); <=1 nonzero per row
+    oh = onehot.astype(jnp.int8)  # (k_out, N); <=1 nonzero per row
     outs = []
     for p in payloads:
         squeeze = p.ndim == 1
         mat = p[:, None] if squeeze else p
-        sel = oh @ mat.astype(jnp.bfloat16)
+        sel = jax.lax.dot_general(
+            oh,
+            mat.astype(jnp.int8),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
         sel = sel[:, 0] if squeeze else sel
         outs.append(sel.astype(p.dtype))
     return tuple(outs), n
@@ -118,9 +143,13 @@ def _dedup_pairwise(boards, valid):
     """First-occurrence dedup flags in ORIGINAL (generation) order:
     keep[i] iff row i is valid and no earlier valid row holds the same
     board (reference add_unique_board semantics,
-    handle_moves.py:313-341).  Dense (K, K) packed-key comparison — pure
-    vector ops, far faster on TPU than a multi-key sort for the K <= a
-    few hundred rows that reach this point."""
+    handle_moves.py:313-341).
+
+    Dense (K, K) packed-key comparison — pure vector ops.  Measured on
+    v5e at (4096, 384, 52) this beats both a multi-key sort and an
+    int8/bf16 Gram-matrix (squared-distance == 0) MXU formulation
+    (2.7 ms vs 5-16 ms): the Gram matrix materializes a (K, K) int32
+    block per game while the 7-word key compare fuses into a bool."""
     keys = jax.vmap(B.pack_key)(boards)  # (K,7)
     eq = jnp.all(keys[:, None, :] == keys[None, :, :], axis=-1)
     eq = eq & valid[:, None] & valid[None, :]
@@ -153,25 +182,17 @@ def _one_order(vec, d_first, d_second, k1):
     return b1c, v1c, pair_b, pair_v, has2
 
 
-def _count_unique(boards, valid):
-    """Number of distinct valid boards (small K; pairwise compare)."""
-    keys = jax.vmap(B.pack_key)(boards)  # (K,7)
-    eq = jnp.all(keys[:, None, :] == keys[None, :, :], axis=-1)  # (K,K)
-    eq = eq & valid[:, None] & valid[None, :]
-    k = boards.shape[0]
-    earlier = jnp.tril(jnp.ones((k, k), bool), -1)
-    dup = jnp.any(eq & earlier, axis=1)
-    return jnp.sum((valid & jnp.logical_not(dup)).astype(jnp.int32))
-
-
 def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig):
     k1 = cfg.k1
     a1b, a1v, a2b, a2v, has2_a = _one_order(vec, d_hi, d_lo, k1)
     b1b, b1v, b2b, b2v, has2_b = _one_order(vec, d_lo, d_hi, k1)
 
     # skip the reversed order iff pass A yielded exactly one unique
-    # single-submove move (reference get_all_moves.py:43-53)
-    uniq_singles_a = _count_unique(a1b, a1v & jnp.logical_not(has2_a))
+    # single-submove move (reference get_all_moves.py:43-53).  Distinct
+    # origins with the same die always produce distinct boards (the
+    # source-point delta differs; a swap o1=o2+die & o2=o1+die is
+    # impossible for die > 0), so the unique count is a plain popcount.
+    uniq_singles_a = jnp.sum((a1v & jnp.logical_not(has2_a)).astype(jnp.int32))
     skip_b = jnp.logical_not(has2_a) & (uniq_singles_a == 1)
 
     run_b = jnp.logical_not(skip_b)
@@ -193,16 +214,21 @@ def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig):
             jnp.full((k1,), 1, jnp.int32),
         ]
     )
-    # stable-compact the raw candidates first so the dedup works on a
+    # Max-submove filter FIRST (reference get_all_moves.py:73-94 runs it
+    # after dedup, but equal boards always have equal submove counts —
+    # the pip delta of a 1-submove move differs from any 2-submove
+    # move's — so filtering before dedup keeps identical semantics and
+    # drops the seqlen payload from the compaction).
+    max_len = jnp.max(jnp.where(cand_valid, seqlen, 0))
+    keep0 = cand_valid & (seqlen == max_len)
+    # stable-compact the filtered candidates so the dedup works on a
     # small dense block; generation order (hence first-occurrence
     # semantics) is preserved.
     kd = cfg.dedup_width
-    (cb, cs), n_raw = _compact((cand_boards, seqlen), cand_valid, kd)
+    (cb,), n_raw = _compact((cand_boards,), keep0, kd)
     kv = jnp.arange(kd) < jnp.minimum(n_raw, kd)
     keep = _dedup_pairwise(cb, kv)
-    max_len = jnp.max(jnp.where(keep, cs, 0))
-    final = keep & (cs == max_len)
-    (out,), n = _compact((cb,), final, cfg.max_moves)
+    (out,), n = _compact((cb,), keep, cfg.max_moves)
     overflow = (n_raw > kd) | (n > cfg.max_moves)
     return out, jnp.minimum(n, cfg.max_moves), overflow
 
@@ -265,15 +291,18 @@ def _doubles(vec, die, cfg: MovegenConfig):
 # --- public entry -----------------------------------------------------------
 
 
-def doubles_capacity(batch_size: int) -> int:
+def doubles_capacity(
+    batch_size: int, cfg: MovegenConfig = MovegenConfig()
+) -> int:
     """Static width of the doubles sub-batch in
-    ``legal_afterstates_batch``.  Doubles are Binomial(B, 1/6):
-    ``B//4 + 64`` sits >12 sigma above the mean for every B >= 512, so
-    saturation is practically impossible (and is reported via the
-    overflow flag if it ever happens)."""
+    ``legal_afterstates_batch``.  Doubles are Binomial(B, 1/6): the
+    default ``B//4 + 64`` sits >12 sigma above the mean for every
+    B >= 512 and the ``fast()`` preset's ``B//5 + 56`` still sits at
+    +8 sigma, so saturation is practically impossible (and is reported
+    via the overflow flag if it ever happens)."""
     if batch_size < 512:
         return batch_size
-    return batch_size // 4 + 64
+    return batch_size // cfg.dbl_div + cfg.dbl_add
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -303,7 +332,7 @@ def legal_afterstates_batch(vecs, dice, cfg: MovegenConfig = MovegenConfig()):
         vecs, d_hi, d_lo
     )
 
-    bd = doubles_capacity(bsz)
+    bd = doubles_capacity(bsz, cfg)
     (dvecs, ddie), n_dbl = _compact((vecs, d0), is_double, bd)
     db_out, db_n, db_of = jax.vmap(lambda v, d: _doubles(v, d, cfg))(dvecs, ddie)
 
