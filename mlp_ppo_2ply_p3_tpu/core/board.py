@@ -76,14 +76,21 @@ def from_canonical(vec, player):
 def submoves_one_die(vec, die):
     """All candidate submoves for one die from a canonical board.
 
-    Returns (valid (25,) bool, dest (25,) int32, hit (25,) bool) over the
-    25 origin slots (0..23 = points, 24 = bar).  Mirrors the reference's
-    three-phase dispatch (move_logic.py:20-44) as masks:
+    Returns (valid (27,) bool, origin (27,) int32, dest (27,) int32,
+    hit (27,) bool) over 27 candidate slots:
 
-    - on the bar: only the bar-entry submove (move_logic.py:95-137);
-    - normal: dest in-board and not blocked (move_logic.py:47-92);
-    - bear-off (all checkers home): exact bear-off from point ``24-die``
-      or overshoot from the farthest checker (move_logic.py:140-255).
+    - 0..23: normal point-to-point moves (move_logic.py:47-92) — dest
+      in-board and not blocked;
+    - 24: the bar-entry submove (move_logic.py:95-137);
+    - 25: bear-off from the FARTHEST occupied home point (overshoot or
+      exact, move_logic.py:196-245 "standard bear-off");
+    - 26: exact bear-off from point ``24-die`` when that differs from
+      the farthest point (move_logic.py:223-255 "special bear-off").
+
+    Slots 25/26 sit after the point slots in this fixed order because
+    the reference emits normal in-home moves first, then the farthest
+    bear-off, then the exact bear-off — for BOTH players — which is what
+    exact list-order parity requires (get_moves_bear_off).
     """
     die = die.astype(jnp.int32)
     my = vec[MY].astype(jnp.int32)
@@ -93,6 +100,7 @@ def submoves_one_die(vec, die):
 
     game_over = my_off >= NUM_CHECKERS
     on_bar = my_bar > 0
+    live = jnp.logical_not(game_over)
 
     o = _ARANGE24
     dest_pt = o + die
@@ -106,25 +114,44 @@ def submoves_one_die(vec, die):
     home_idx = jnp.where(my[18:24] > 0, jnp.arange(18, 24, dtype=jnp.int32), 99)
     farthest = jnp.min(home_idx)
 
-    valid_normal = jnp.logical_not(on_bar) & occupied & in_board & open_dest
-    valid_off = (
-        all_home
-        & occupied
-        & jnp.logical_not(in_board)
-        & ((dest_pt == NUM_POINTS) | (o == farthest))
+    valid_normal = (
+        jnp.logical_not(on_bar) & occupied & in_board & open_dest & live
     )
-    valid_pts = (valid_normal | valid_off) & jnp.logical_not(game_over)
     dest_pts = jnp.where(in_board, dest_pt, DEST_OFF)
     hit_pts = valid_normal & (opp_at == 1)
 
     bar_dest = die - 1
-    valid_bar = on_bar & (opp[bar_dest] <= 1) & jnp.logical_not(game_over)
+    valid_bar = on_bar & (opp[bar_dest] <= 1) & live
     hit_bar = valid_bar & (opp[bar_dest] == 1)
 
-    valid = jnp.concatenate([valid_pts, valid_bar[None]])
-    dest = jnp.concatenate([dest_pts, bar_dest[None]])
-    hit = jnp.concatenate([hit_pts, hit_bar[None]])
-    return valid, dest, hit
+    # farthest-checker bear-off (exact or overshoot)
+    far_valid = all_home & (farthest < 99) & (farthest + die >= NUM_POINTS) & live
+    far_origin = jnp.clip(farthest, 18, 23)
+    # exact bear-off from 24-die when distinct from the farthest point
+    ex_origin = NUM_POINTS - die
+    ex_valid = (
+        all_home
+        & (my[jnp.clip(ex_origin, 0, 23)] > 0)
+        & (ex_origin != farthest)
+        & live
+    )
+
+    false1 = jnp.zeros((1,), bool)
+    off1 = jnp.full((1,), DEST_OFF, jnp.int32)
+    valid = jnp.concatenate(
+        [valid_normal, valid_bar[None], far_valid[None], ex_valid[None]]
+    )
+    origin = jnp.concatenate(
+        [
+            o,
+            jnp.full((1,), ORIGIN_BAR, jnp.int32),
+            far_origin[None],
+            ex_origin[None],
+        ]
+    )
+    dest = jnp.concatenate([dest_pts, bar_dest[None], off1, off1])
+    hit = jnp.concatenate([hit_pts, hit_bar[None], false1, false1])
+    return valid, origin, dest, hit
 
 
 def apply_submove(vec, origin, dest, hit):

@@ -68,6 +68,29 @@ class MovegenConfig:
     # (see doubles_capacity)
     dbl_div: int = 4
     dbl_add: int = 64
+    # exact_order=True switches the doubles path from canonical multiset
+    # enumeration to reference-order permutation enumeration with
+    # levelwise board dedup (see _doubles_exact): identical afterstate
+    # SET either way, but exact_order also reproduces the reference's
+    # list ORDER for doubles replenishment chains, at ~2-4x the doubles
+    # cost.  k4 is the pre-dedup width of the final permutation level
+    # (exact_order only).
+    exact_order: bool = False
+    k4: int = 1920
+
+    @classmethod
+    def parity(cls, max_moves: int = 500) -> "MovegenConfig":
+        """Strict reference-parity preset: exact list order for both
+        players incl. doubles (exact_order), caps above every practical
+        bound (non-doubles raw 482 < 512; doubles L3 perms <= 3*161,
+        L4 perms < 1920), and M = 500 = the reference env's own
+        max_legal_moves cap — both sides keep the FIRST 500 moves in
+        generation order (backgammon_env.py:219-223, Q14), so truncation
+        itself is parity-exact."""
+        return cls(
+            max_moves=max_moves, k2=128, k3=512, dedup_width=512,
+            exact_order=True, k4=1920,
+        )
 
     @classmethod
     def fast(cls, max_moves: int = 256) -> "MovegenConfig":
@@ -83,26 +106,45 @@ class MovegenConfig:
         )
 
 
-_ORIGINS = jnp.arange(25, dtype=jnp.int32)
+# Candidate-slot grid per die: 24 point origins + bar + farthest
+# bear-off + exact bear-off (see board.submoves_one_die).
+NSLOT = 27
+
+
+def _perm_scan(x, mirror):
+    """Reorder a (..., 27) per-slot array into the game's scan order.
+
+    The reference enumerates point origins in ABSOLUTE ascending order
+    for both players (move_logic.py:47-92 scans range(24)); our
+    canonical frame reflects player 2 (i -> 23-i), so matching the
+    reference's generation order (exact action-index parity, Q14) flips
+    the first 25 slots (points + bar) for player-2 games.  Bar placement
+    is irrelevant (bar moves are exclusive, move_logic.py:35-44); the
+    two bear-off slots stay last in both orders because the reference
+    emits them after the in-home normal moves (move_logic.py:173-255)."""
+    flipped = jnp.concatenate(
+        [jnp.flip(x[..., :25], axis=-1), x[..., 25:]], axis=-1
+    )
+    return jnp.where(mirror, flipped, x)
 
 
 # --- building blocks --------------------------------------------------------
 
 
-def _expand_one_die(boards, valid, die):
+def _expand_one_die(boards, valid, die, mirror):
     """Expand a (K, 52) frontier by one die: returns
-    (after (K*25, 52), valid (K*25,), origin (K*25,)) over the dense
-    origin grid."""
-    v, d, h = jax.vmap(B.submoves_one_die, (0, None))(boards, die)  # (K,25)
+    (after (K*NSLOT, 52), valid (K*NSLOT,), origin (K*NSLOT,)) over the
+    dense candidate grid, iterated in scan order (``_perm_scan``)."""
+    v, o, d, h = jax.vmap(B.submoves_one_die, (0, None))(boards, die)
+    v, o, d, h = (_perm_scan(a, mirror) for a in (v, o, d, h))
     after = jax.vmap(
-        lambda b, dd, hh: jax.vmap(B.apply_submove, (None, 0, 0, 0))(
-            b, _ORIGINS, dd, hh
+        lambda b, oo, dd, hh: jax.vmap(B.apply_submove, (None, 0, 0, 0))(
+            b, oo, dd, hh
         )
-    )(boards, d, h)  # (K,25,52)
+    )(boards, o, d, h)  # (K,NSLOT,52)
     k = boards.shape[0]
-    val = (valid[:, None] & v).reshape(k * 25)
-    origin = jnp.broadcast_to(_ORIGINS, (k, 25)).reshape(k * 25)
-    return after.reshape(k * 25, 52), val, origin
+    val = (valid[:, None] & v).reshape(k * NSLOT)
+    return after.reshape(k * NSLOT, 52), val, o.reshape(k * NSLOT)
 
 
 def _compact(payloads, valid, k_out):
@@ -169,23 +211,25 @@ def _embed(boards, n, m):
 # --- non-doubles ------------------------------------------------------------
 
 
-def _one_order(vec, d_first, d_second, k1):
+def _one_order(vec, d_first, d_second, k1, mirror):
     """One die order (reference handle_moves.py:109-200): returns
     (singles (k1,52), singles_valid, pair_boards (k1*25,52), pair_valid,
     has2)."""
-    v1, d1, h1 = B.submoves_one_die(vec, d_first)
-    b1 = jax.vmap(B.apply_submove, (None, 0, 0, 0))(vec, _ORIGINS, d1, h1)
+    v1, o1, d1, h1 = (
+        _perm_scan(a, mirror) for a in B.submoves_one_die(vec, d_first)
+    )
+    b1 = jax.vmap(B.apply_submove, (None, 0, 0, 0))(vec, o1, d1, h1)
     (b1c,), n1 = _compact((b1,), v1, k1)  # <= 15 valid: k1=16 never overflows
     v1c = jnp.arange(k1) < n1
-    pair_b, pair_v, _ = _expand_one_die(b1c, v1c, d_second)
+    pair_b, pair_v, _ = _expand_one_die(b1c, v1c, d_second, mirror)
     has2 = jnp.any(pair_v)
     return b1c, v1c, pair_b, pair_v, has2
 
 
-def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig):
+def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig, mirror):
     k1 = cfg.k1
-    a1b, a1v, a2b, a2v, has2_a = _one_order(vec, d_hi, d_lo, k1)
-    b1b, b1v, b2b, b2v, has2_b = _one_order(vec, d_lo, d_hi, k1)
+    a1b, a1v, a2b, a2v, has2_a = _one_order(vec, d_hi, d_lo, k1, mirror)
+    b1b, b1v, b2b, b2v, has2_b = _one_order(vec, d_lo, d_hi, k1, mirror)
 
     # skip the reversed order iff pass A yielded exactly one unique
     # single-submove move (reference get_all_moves.py:43-53).  Distinct
@@ -205,7 +249,7 @@ def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig):
             b1v & jnp.logical_not(has2_b) & run_b,
         ]
     )
-    npair = k1 * 25
+    npair = k1 * NSLOT
     seqlen = jnp.concatenate(
         [
             jnp.full((npair,), 2, jnp.int32),
@@ -236,7 +280,17 @@ def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig):
 # --- doubles ----------------------------------------------------------------
 
 
-def _doubles(vec, die, cfg: MovegenConfig):
+def _rank_of(origin):
+    """Movement-direction rank of an origin (bar first): the
+    non-decreasing-rank canonicalization is only completeness-preserving
+    in the CANONICAL direction (arrivals at an origin come from the
+    lower origin o-die, so replenishment chains are non-decreasing).
+    This is independent of the scan (emission) order: each origin
+    multiset still appears exactly once."""
+    return jnp.where(origin == B.ORIGIN_BAR, -1, origin)
+
+
+def _doubles(vec, die, cfg: MovegenConfig, mirror):
     """Depth-4 frontier expansion with non-decreasing-origin
     canonicalization and NO dedup: none is needed.  Distinct
     non-decreasing origin sequences are exactly the origin multisets,
@@ -246,17 +300,19 @@ def _doubles(vec, die, cfg: MovegenConfig):
     different frontier rows can never hold the same board.  Each level
     is therefore a plain stable compaction of the valid expansions."""
     m = cfg.max_moves
-    v1, d1, h1 = B.submoves_one_die(vec, die)
-    b1 = jax.vmap(B.apply_submove, (None, 0, 0, 0))(vec, _ORIGINS, d1, h1)
-    rank1 = jnp.where(_ORIGINS == B.ORIGIN_BAR, -1, _ORIGINS)
+    v1, o1, d1, h1 = (
+        _perm_scan(a, mirror) for a in B.submoves_one_die(vec, die)
+    )
+    b1 = jax.vmap(B.apply_submove, (None, 0, 0, 0))(vec, o1, d1, h1)
+    rank1 = _rank_of(o1)
     (f1b, f1r), n1 = _compact((b1, rank1), v1, cfg.k1)
     f1v = jnp.arange(cfg.k1) < n1
     has1 = n1 > 0
 
     def level(fb, fr, fv, k_out):
-        eb, ev, eo = _expand_one_die(fb, fv, die)
-        erank = jnp.where(eo == B.ORIGIN_BAR, -1, eo)
-        parent_rank = jnp.repeat(fr, 25)
+        eb, ev, eo = _expand_one_die(fb, fv, die, mirror)
+        erank = _rank_of(eo)
+        parent_rank = jnp.repeat(fr, NSLOT)
         ev = ev & (erank >= parent_rank)
         has = jnp.any(ev)
         (nb, nr), n = _compact((eb, erank), ev, k_out)
@@ -266,9 +322,9 @@ def _doubles(vec, die, cfg: MovegenConfig):
     f2b, f2r, f2v, n2, has2 = level(f1b, f1r, f1v, cfg.k2)
     f3b, f3r, f3v, n3, has3 = level(f2b, f2r, f2v, cfg.k3)
     # final level: compact straight into the M-wide output
-    e4b, e4v, e4o = _expand_one_die(f3b, f3v, die)
-    e4rank = jnp.where(e4o == B.ORIGIN_BAR, -1, e4o)
-    e4v = e4v & (e4rank >= jnp.repeat(f3r, 25))
+    e4b, e4v, e4o = _expand_one_die(f3b, f3v, die, mirror)
+    e4rank = _rank_of(e4o)
+    e4v = e4v & (e4rank >= jnp.repeat(f3r, NSLOT))
     has4 = jnp.any(e4v)
     (f4b, _), n4 = _compact((e4b, e4rank), e4v, m)
 
@@ -286,6 +342,69 @@ def _doubles(vec, die, cfg: MovegenConfig):
         | (jnp.logical_not(has3) & has2 & (n2 > m))
     )
     return out, jnp.minimum(n, m), overflow
+
+
+def _doubles_exact(vec, die, cfg: MovegenConfig, mirror):
+    """Reference-ORDER doubles enumeration (exact_order mode).
+
+    The reference's nested scan (handle_moves.py:203-310) enumerates all
+    valid origin *permutations* in lex scan order and add_unique_board
+    keeps the first occurrence; a multiset's representative is therefore
+    its lex-first valid permutation (which, for replenishment chains —
+    re-moving a checker that just arrived — is NOT the sorted sequence,
+    so the canonical multiset enumeration in ``_doubles`` yields the same
+    set in a different order).  This path replays the permutation scan
+    with a first-occurrence board dedup at every level.  Levelwise dedup
+    is exact: equal boards have identical continuation sets, so the
+    lex-first final sequence always extends the lex-first prefix of its
+    board class.  Costs ~2-4x ``_doubles``; used by the parity preset.
+    """
+    m = cfg.max_moves
+    v1, o1, d1, h1 = (
+        _perm_scan(a, mirror) for a in B.submoves_one_die(vec, die)
+    )
+    b1 = jax.vmap(B.apply_submove, (None, 0, 0, 0))(vec, o1, d1, h1)
+    # L1 singles can coincide only via the two bear-off slots (same
+    # origin forbidden by construction), which target distinct origins,
+    # so boards are distinct: no L1 dedup
+    (f1b,), n1 = _compact((b1,), v1, cfg.k1)
+    f1v = jnp.arange(cfg.k1) < n1
+
+    def level(fb, fkeep, k_out):
+        eb, ev, _ = _expand_one_die(fb, fkeep, die, mirror)
+        has = jnp.any(ev)
+        n_pre = jnp.sum(ev.astype(jnp.int32))
+        (nb,), _ = _compact((eb,), ev, k_out)
+        nv = jnp.arange(k_out) < jnp.minimum(n_pre, k_out)
+        keep = _dedup_pairwise(nb, nv)
+        return nb, keep, n_pre, has
+
+    f2b, f2k, n2, has2 = level(f1b, f1v, cfg.k2)
+    f3b, f3k, n3, has3 = level(f2b, f2k, cfg.k3)
+    f4b, f4k, n4, has4 = level(f3b, f3k, cfg.k4)
+
+    c2 = jnp.sum(f2k.astype(jnp.int32))
+    c3 = jnp.sum(f3k.astype(jnp.int32))
+    c4 = jnp.sum(f4k.astype(jnp.int32))
+    (o4,), _ = _compact((f4b,), f4k, m)
+    (o3,), _ = _compact((f3b,), f3k, m)
+    (o2,), _ = _compact((f2b,), f2k, m)
+    l1b, l1n = _embed(f1b, n1, m)
+    out = jnp.where(has4, o4, jnp.where(has3, o3, jnp.where(has2, o2, l1b)))
+    n = jnp.where(has4, c4, jnp.where(has3, c3, jnp.where(has2, c2, l1n)))
+    overflow = (
+        (has2 & (n2 > cfg.k2))
+        | (has3 & (n3 > cfg.k3))
+        | (has4 & (n4 > cfg.k4))
+        | (n > m)
+    )
+    return out, jnp.minimum(n, m), overflow
+
+
+def _doubles_dispatch(vec, die, cfg: MovegenConfig, mirror):
+    if cfg.exact_order:
+        return _doubles_exact(vec, die, cfg, mirror)
+    return _doubles(vec, die, cfg, mirror)
 
 
 # --- public entry -----------------------------------------------------------
@@ -306,7 +425,9 @@ def doubles_capacity(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def legal_afterstates_batch(vecs, dice, cfg: MovegenConfig = MovegenConfig()):
+def legal_afterstates_batch(
+    vecs, dice, cfg: MovegenConfig = MovegenConfig(), mirror=None
+):
     """Batched legal-move enumeration with doubles partitioning.
 
     Only ~1/6 of games roll doubles, but the doubles kernel (depth-4
@@ -316,25 +437,34 @@ def legal_afterstates_batch(vecs, dice, cfg: MovegenConfig = MovegenConfig()):
     sub-batch, expanded there, and gathered back.  All shapes static.
 
     Args:
-      vecs:  (B, 52) int8 canonical boards (current player to move).
-      dice:  (B, 2) integer dice.
-      cfg:   static width configuration.
+      vecs:   (B, 52) int8 canonical boards (current player to move).
+      dice:   (B, 2) integer dice.
+      cfg:    static width configuration.
+      mirror: (B,) bool — True for games whose mover is player 2, so the
+              output list follows the reference's absolute-ascending
+              generation order (None = all False, canonical order).
 
     Returns: (boards (B, M, 52), n_moves (B,), overflow (B,)).
     """
     bsz = vecs.shape[0]
+    if mirror is None:
+        mirror = jnp.zeros((bsz,), bool)
     d0 = dice[:, 0].astype(jnp.int32)
     d1 = dice[:, 1].astype(jnp.int32)
     is_double = d0 == d1
     d_hi, d_lo = jnp.maximum(d0, d1), jnp.minimum(d0, d1)
 
-    nd_out, nd_n, nd_of = jax.vmap(lambda v, h, l: _nondoubles(v, h, l, cfg))(
-        vecs, d_hi, d_lo
-    )
+    nd_out, nd_n, nd_of = jax.vmap(
+        lambda v, h, l, mi: _nondoubles(v, h, l, cfg, mi)
+    )(vecs, d_hi, d_lo, mirror)
 
     bd = doubles_capacity(bsz, cfg)
-    (dvecs, ddie), n_dbl = _compact((vecs, d0), is_double, bd)
-    db_out, db_n, db_of = jax.vmap(lambda v, d: _doubles(v, d, cfg))(dvecs, ddie)
+    (dvecs, ddie, dmir), n_dbl = _compact(
+        (vecs, d0, mirror.astype(jnp.int8)), is_double, bd
+    )
+    db_out, db_n, db_of = jax.vmap(
+        lambda v, d, mi: _doubles_dispatch(v, d, cfg, mi)
+    )(dvecs, ddie, dmir > 0)
 
     pos = jnp.cumsum(is_double.astype(jnp.int32))  # 1-indexed doubles slot
     slot = jnp.clip(pos - 1, 0, bd - 1)
@@ -351,24 +481,29 @@ def legal_afterstates_batch(vecs, dice, cfg: MovegenConfig = MovegenConfig()):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def legal_afterstates(vec, dice, cfg: MovegenConfig = MovegenConfig()):
+def legal_afterstates(
+    vec, dice, cfg: MovegenConfig = MovegenConfig(), mirror=False
+):
     """All legal afterstates from one canonical board + dice pair.
 
     Args:
-      vec:  (52,) int8 canonical board (current player to move).
-      dice: (2,) integer dice.
-      cfg:  static width configuration.
+      vec:    (52,) int8 canonical board (current player to move).
+      dice:   (2,) integer dice.
+      cfg:    static width configuration.
+      mirror: bool scalar — True when the mover is player 2 (reference
+              generation-order parity, see legal_afterstates_batch).
 
     Returns:
       boards:   (M, 52) int8 canonical afterstate boards (padded).
       n_moves:  () int32 number of valid moves (0 -> forced pass).
       overflow: () bool, true if any width cap truncated the true set.
     """
+    mirror = jnp.asarray(mirror, bool)
     d0 = dice[0].astype(jnp.int32)
     d1 = dice[1].astype(jnp.int32)
     d_hi, d_lo = jnp.maximum(d0, d1), jnp.minimum(d0, d1)
-    nd_out, nd_n, nd_of = _nondoubles(vec, d_hi, d_lo, cfg)
-    db_out, db_n, db_of = _doubles(vec, d0, cfg)
+    nd_out, nd_n, nd_of = _nondoubles(vec, d_hi, d_lo, cfg, mirror)
+    db_out, db_n, db_of = _doubles_dispatch(vec, d0, cfg, mirror)
     is_double = d0 == d1
     out = jnp.where(is_double, db_out, nd_out)
     n = jnp.where(is_double, db_n, nd_n)

@@ -114,9 +114,11 @@ def _fresh_game(key):
 def _movegen_batch(points, bar, off, turn, dice_, cfg: EnvConfig):
     """Batched movegen: (B,...) absolute arrays -> (after, n, overflow).
     Uses the doubles-partitioned kernel (core.movegen) so only games
-    that actually rolled doubles pay the depth-4 expansion."""
+    that actually rolled doubles pay the depth-4 expansion.  ``mirror``
+    keeps the move-list order identical to the reference's generation
+    order for both players (exact action-index parity, Q14)."""
     vecs = jax.vmap(B.to_canonical)(points, bar, off, turn)
-    return legal_afterstates_batch(vecs, dice_, cfg.movegen)
+    return legal_afterstates_batch(vecs, dice_, cfg.movegen, mirror=turn == 1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "batch_size"))

@@ -127,3 +127,20 @@ def load_reference():
     ns.board_to_oracle = board_to_oracle
     _loaded = ns
     return ns
+
+
+def load_reference_env():
+    """Returns the live reference BackgammonEnv class (plus the base
+    namespace), or None if unavailable.  Used by the exact-trajectory
+    parity test (tests/test_trajectory_parity.py)."""
+    ns = load_reference()
+    if ns is None:
+        return None
+    if not hasattr(ns, "BackgammonEnv"):
+        try:
+            from src.environment.backgammon_env import BackgammonEnv  # noqa
+        except Exception as e:  # pragma: no cover
+            print(f"reference env unavailable: {e}")
+            return None
+        ns.BackgammonEnv = BackgammonEnv
+    return ns
