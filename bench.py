@@ -12,7 +12,11 @@ device syncs, serial 8-env loop — BASELINE.md); we use 1000 steps/s as
 the comparison denominator.
 
 Env knobs: BENCH_ENVS (default 4096), BENCH_T (default 64),
-BENCH_UPDATES (default 3 timed), BENCH_PRESET to override everything.
+BENCH_UPDATES (default 3 timed), BENCH_MOVEGEN (fast | default | parity
+width preset, default fast — validated caps, see
+core.movegen.MovegenConfig.fast), BENCH_PRESET (a RunConfig preset name
+whose env/model/ppo configs replace the defaults; BENCH_ENVS/BENCH_T
+still override sizes).
 """
 
 import json
@@ -42,6 +46,8 @@ REFERENCE_BASELINE_STEPS_PER_SEC = 1000.0
 
 
 def main():
+    import dataclasses
+
     from mlp_ppo_2ply_p3_tpu.core.movegen import MovegenConfig
     from mlp_ppo_2ply_p3_tpu.env import bg_env
     from mlp_ppo_2ply_p3_tpu.models.mlp import ModelConfig
@@ -51,16 +57,35 @@ def main():
     t_horizon = int(os.environ.get("BENCH_T", 64))
     timed_updates = int(os.environ.get("BENCH_UPDATES", 3))
     max_moves = int(os.environ.get("BENCH_MAX_MOVES", 256))
+    mg_name = os.environ.get("BENCH_MOVEGEN", "fast")
+    mg_cfg = {
+        "fast": MovegenConfig.fast,
+        "default": MovegenConfig,
+        "parity": MovegenConfig.parity,
+    }[mg_name](max_moves=max_moves)
 
-    env_cfg = bg_env.EnvConfig(movegen=MovegenConfig(max_moves=max_moves))
-    model_cfg = ModelConfig(action_size=max_moves)
-    ppo_cfg = learner.PPOConfig(
-        num_envs=num_envs,
-        t_horizon=t_horizon,
-        num_minibatches=32,
-        normalize_adv=True,
-        normalize_returns=False,
-    )
+    preset = os.environ.get("BENCH_PRESET", "")
+    if preset:
+        from mlp_ppo_2ply_p3_tpu.utils.config import get_preset
+
+        cfg = get_preset(preset)
+        env_cfg, model_cfg = cfg.env, cfg.model
+        ppo_cfg = dataclasses.replace(
+            cfg.ppo,
+            num_envs=int(os.environ.get("BENCH_ENVS", cfg.ppo.num_envs)),
+            t_horizon=int(os.environ.get("BENCH_T", cfg.ppo.t_horizon)),
+        )
+        num_envs, t_horizon = ppo_cfg.num_envs, ppo_cfg.t_horizon
+    else:
+        env_cfg = bg_env.EnvConfig(movegen=mg_cfg)
+        model_cfg = ModelConfig(action_size=max_moves)
+        ppo_cfg = learner.PPOConfig(
+            num_envs=num_envs,
+            t_horizon=t_horizon,
+            num_minibatches=32,
+            normalize_adv=True,
+            normalize_returns=False,
+        )
 
     ts = learner.init_train_state(jax.random.PRNGKey(0), model_cfg, ppo_cfg)
     env_state = bg_env.reset(jax.random.PRNGKey(1), env_cfg, num_envs)

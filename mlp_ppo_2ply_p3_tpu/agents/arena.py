@@ -6,6 +6,14 @@ Replaces the reference's broken win-rate bookkeeping (SURVEY.md Q8:
 its "win rate" is always 1).  Here the two sides are different policies;
 side assignment alternates across the batch; each game's first
 completion is latched and scored.
+
+Policies are passed as ``(params, state, key) -> (B,) actions`` pure
+functions with their parameters separate, so ``play_jit`` can treat the
+function as a static (hashable, stable-identity) argument and the
+params as traced inputs — one compilation per (policy pair, config),
+not per call.  Policy factories that need a model/search config should
+be memoized (see ppo.train._league_policies) so their identity is
+stable across calls.
 """
 
 from __future__ import annotations
@@ -18,8 +26,8 @@ import jax.numpy as jnp
 
 from ..env import bg_env
 
-# A policy maps (state, key) -> (B,) int32 actions.
-Policy = Callable[[bg_env.EnvState, jax.Array], jax.Array]
+# A policy maps (params, state, key) -> (B,) int32 actions.
+Policy = Callable[[object, bg_env.EnvState, jax.Array], jax.Array]
 
 
 class ArenaResult(NamedTuple):
@@ -31,8 +39,9 @@ class ArenaResult(NamedTuple):
     plies: jax.Array         # () total plies played
 
 
-def play(policy_a: Policy, policy_b: Policy, key, env_cfg: bg_env.EnvConfig,
-         n_games: int, max_plies: int = 400) -> ArenaResult:
+def play(policy_a: Policy, params_a, policy_b: Policy, params_b, key,
+         env_cfg: bg_env.EnvConfig, n_games: int,
+         max_plies: int = 400) -> ArenaResult:
     """Play ``n_games`` lockstep; A is player 0 in even games, player 1 in
     odd games.  Returns first-completion results per game."""
     k_reset, k_run = jax.random.split(key)
@@ -42,8 +51,8 @@ def play(policy_a: Policy, policy_b: Policy, key, env_cfg: bg_env.EnvConfig,
     def step_fn(carry, k):
         state, done_latch, winner_side, game_score = carry
         k_a, k_b, k_env = jax.random.split(k, 3)
-        act_a = policy_a(state, k_a)
-        act_b = policy_b(state, k_b)
+        act_a = policy_a(params_a, state, k_a)
+        act_b = policy_b(params_b, state, k_b)
         actions = jnp.where(state.turn == a_side, act_a, act_b)
         state, info = bg_env.step(state, actions, k_env, env_cfg)
         won_now = (info.winner >= 0) & jnp.logical_not(done_latch)
@@ -78,7 +87,9 @@ def win_rate(result: ArenaResult) -> float:
     return float(result.wins_a) / f
 
 
-@partial(jax.jit, static_argnames=("env_cfg", "n_games", "max_plies",
-                                   "policy_a", "policy_b"))
-def play_jit(policy_a, policy_b, key, env_cfg, n_games, max_plies=400):
-    return play(policy_a, policy_b, key, env_cfg, n_games, max_plies)
+@partial(jax.jit, static_argnames=("policy_a", "policy_b", "env_cfg",
+                                   "n_games", "max_plies"))
+def play_jit(policy_a, params_a, policy_b, params_b, key, env_cfg, n_games,
+             max_plies=400):
+    return play(policy_a, params_a, policy_b, params_b, key, env_cfg,
+                n_games, max_plies)

@@ -13,8 +13,30 @@ eval, expect_minmax.py:107-143 — same convention), and
     score(a) = sum_r p_r * min_{reply in legal(a, r)} V(reply board)
 
 with the min over an empty reply set defined as V(a) (opponent dances).
-The whole thing is one jit: (B, k, 21, M') feature tensor -> one MLP
-matmul -> masked min -> probability-weighted sum.
+
+Shape/width guarantees (fixes round-2 Weak #2 — silent truncation at
+defaults):
+
+- ``SearchConfig.reply_max_moves`` defaults to 512, above the measured
+  doubles final maximum of 459 (core.movegen, ~35k reachable
+  position/roll pairs), and ``_reply_cfg`` sets the intermediate caps to
+  k2=80 >= 44, k3=224 >= 161, dedup_width=288 >= 251 — all above the
+  measured maxima with margin.  ``tests/test_agents.py`` asserts the
+  default reply config is overflow-free over >=10k random positions x
+  all doubles rolls.
+- The reply batch has a FIXED 6/21 doubles fraction (not the rollout's
+  Binomial(B, 1/6)), so the doubles sub-batch capacity uses dbl_div=3
+  (N/3 + 64 > 2N/7 for all N).
+- Any residual cap saturation is still observable:
+  ``twoply_actions_report`` returns the per-game OR of every reply
+  movegen overflow flag next to the actions, and ``twoply_actions`` is
+  its action-only wrapper.
+
+Memory: reply VALUE evaluation is chunked over the 21-roll axis with
+``lax.map`` (materializing all (B, k, 21, M', 198) features at once
+would be tens of GB); the reply BOARD enumeration still runs as one
+doubles-partitioned ``legal_afterstates_batch`` call over the flattened
+(B*k*21) axis for full batching efficiency.
 """
 
 from __future__ import annotations
@@ -46,15 +68,30 @@ def opponent_view(vec):
 
 
 def _reply_cfg(scfg: SearchConfig) -> MG.MovegenConfig:
+    """Reply-enumeration widths: all caps above the measured maxima
+    (doubles L2 44 / L3 161 / final 459; non-doubles raw 251 — see
+    core.movegen.MovegenConfig) and a doubles sub-batch capacity sized
+    for the reply batch's fixed 6/21 doubles fraction."""
     m = scfg.reply_max_moves
-    return MG.MovegenConfig(max_moves=m, k2=max(m, 64), k3=max(m, 64))
+    return MG.MovegenConfig(
+        max_moves=m,
+        k2=max(80, min(m, 128)),
+        k3=max(224, min(m, 256)),
+        dedup_width=288,
+        dbl_div=3,
+        dbl_add=64,
+    )
 
 
 @partial(jax.jit, static_argnames=("mcfg", "scfg"))
-def twoply_actions(params, state: bg_env.EnvState, mcfg: mlp.ModelConfig,
-                   scfg: SearchConfig = SearchConfig()):
-    """(B,) actions by 2-ply expectimax over the current legal moves."""
+def twoply_actions_report(params, state: bg_env.EnvState,
+                          mcfg: mlp.ModelConfig,
+                          scfg: SearchConfig = SearchConfig()):
+    """(B,) actions by 2-ply expectimax over the current legal moves,
+    plus a (B,) bool reply-movegen overflow report (False everywhere at
+    default widths; asserted by tests over >=10k positions)."""
     k = scfg.top_k
+    b = state.turn.shape[0]
     mask = bg_env.action_mask(state)  # (B, M)
 
     # ---- 1-ply scores and top-k pruning -----------------------------------
@@ -77,31 +114,45 @@ def twoply_actions(params, state: bg_env.EnvState, mcfg: mlp.ModelConfig,
     )(cand, state.turn)  # (B, k)
 
     # ---- opponent chance/reply expansion ----------------------------------
+    # one doubles-partitioned movegen call over the flattened
+    # (B * k * 21) axis: same board tiled across the 21-roll chance axis.
     opp_vec = opponent_view(cand)                       # (B, k, 52)
     rcfg = _reply_cfg(scfg)
-    rolls = D.ROLLS_21.astype(jnp.int32)                # (21, 2)
+    mprime = rcfg.max_moves
+    rolls = D.ROLLS_21.astype(jnp.int8)                 # (21, 2)
 
-    def per_candidate(vec, us, opp):
-        def per_roll(r):
-            boards, n, _ = MG.legal_afterstates(vec, r, rcfg)  # (M',52) opp frame
-            # evaluate from OUR perspective: absolute board, our one-hot.
-            # boards are in the OPPONENT's canonical frame; flipping back
-            # to ours lets us reuse encode_canonical with mover = us.
-            ours = opponent_view(boards)
-            feats = F.encode_canonical(ours, us)        # (M',198)
-            vals = mlp.value(params, feats, mcfg)       # (M',)
-            valid = jnp.arange(rcfg.max_moves) < n
-            worst = jnp.min(jnp.where(valid, vals, POS_INF))
-            return jnp.where(n > 0, worst, jnp.nan), n
-        worst21, _ = jax.vmap(per_roll)(rolls)          # (21,)
-        return worst21
+    flat_vecs = jnp.broadcast_to(
+        opp_vec[:, :, None, :], (b, k, 21, 52)
+    ).reshape(b * k * 21, 52)
+    flat_dice = jnp.broadcast_to(
+        rolls[None, None, :, :], (b, k, 21, 2)
+    ).reshape(b * k * 21, 2)
+    boards, n_rep, ovf = MG.legal_afterstates_batch(flat_vecs, flat_dice, rcfg)
+    boards = boards.reshape(b, k, 21, mprime, 52)
+    n_rep = n_rep.reshape(b, k, 21)
+    overflow = jnp.any(ovf.reshape(b, k, 21), axis=(1, 2))
 
-    # vmap over batch then candidates
-    worst = jax.vmap(
-        lambda vecs, us, opp: jax.vmap(
-            lambda v: per_candidate(v, us, opp)
-        )(vecs)
-    )(opp_vec, state.turn, (1 - state.turn).astype(jnp.int8))  # (B, k, 21)
+    # ---- min over replies, chunked over the roll axis ----------------------
+    us = state.turn  # (B,)
+
+    def eval_one_roll(args):
+        rb, rn = args  # (B, k, M', 52), (B, k)
+        # boards are in the OPPONENT's canonical frame; flipping back to
+        # ours lets us reuse encode_canonical with mover = us.
+        ours = opponent_view(rb)
+        feats = jax.vmap(
+            lambda bk_boards, p: F.encode_canonical(bk_boards, p)
+        )(ours.reshape(b, k * mprime, 52), us).reshape(b, k, mprime, 198)
+        vals = mlp.value(params, feats, mcfg)           # (B, k, M')
+        valid = jnp.arange(mprime)[None, None, :] < rn[:, :, None]
+        worst = jnp.min(jnp.where(valid, vals, POS_INF), axis=-1)
+        return jnp.where(rn > 0, worst, jnp.nan)        # (B, k)
+
+    worst = jax.lax.map(
+        eval_one_roll,
+        (jnp.moveaxis(boards, 2, 0), jnp.moveaxis(n_rep, 2, 0)),
+    )  # (21, B, k)
+    worst = jnp.moveaxis(worst, 0, -1)                  # (B, k, 21)
 
     worst = jnp.where(jnp.isnan(worst), v_dance[:, :, None], worst)
     score2 = jnp.sum(worst * D.ROLL_PROBS_21[None, None, :], axis=-1)  # (B,k)
@@ -109,4 +160,11 @@ def twoply_actions(params, state: bg_env.EnvState, mcfg: mlp.ModelConfig,
 
     best_k = jnp.argmax(score2, axis=-1)                # (B,)
     action = jnp.take_along_axis(top_idx, best_k[:, None], axis=1)[:, 0]
-    return action.astype(jnp.int32)
+    return action.astype(jnp.int32), overflow
+
+
+def twoply_actions(params, state: bg_env.EnvState, mcfg: mlp.ModelConfig,
+                   scfg: SearchConfig = SearchConfig()):
+    """(B,) actions by 2-ply expectimax (see twoply_actions_report)."""
+    action, _ = twoply_actions_report(params, state, mcfg, scfg)
+    return action

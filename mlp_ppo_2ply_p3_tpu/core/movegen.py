@@ -54,8 +54,9 @@ class MovegenConfig:
     """Static width caps.  Empirical maxima over ~35k reachable
     position/roll pairs (oracle playouts): doubles L2 44, L3 161, final
     459; non-doubles final 93.  Overflow is reported per call so
-    saturation is observable in production metrics (the trainer can warn
-    or abort on it, see ppo.train overflow_policy)."""
+    saturation is observable in production metrics; the trainer applies
+    ``RunConfig.overflow_policy`` ("none"/"warn"/"abort", handled in
+    ppo.train) to the per-update overflow count."""
 
     max_moves: int = 256    # M: final list width (reference env cap: 500)
     k1: int = 16            # first-level frontier (hard bound: 15 origins)

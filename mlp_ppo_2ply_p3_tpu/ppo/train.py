@@ -6,6 +6,17 @@ full train state.  Compare the reference's per-step host loop with
 device syncs every move (/root/reference/src/agent/train.py:30-160,
 SURVEY.md §3.1 — the .item() storm this design eliminates).
 
+Scale-out (SURVEY.md §5.8, replacing the reference's abandoned
+multiprocessing fan-out /root/reference/src/environment/vec_bg_env.py:
+74-153): whenever more than one device is visible, the driver builds a
+1-D ``Mesh`` over all chips, shards the game batch (env state) over its
+``dp`` axis and replicates train state; GSPMD then partitions the
+jitted ``train_step`` — env stepping is embarrassingly parallel over
+ICI and the gradient all-reduce is inserted automatically where the
+sharded batch meets replicated params.  Multi-host pods run the same
+code after ``initialize_distributed`` (the ``--num-processes /
+--coordinator / --process-id`` flags).
+
 Usage:
     python -m mlp_ppo_2ply_p3_tpu.ppo.train --preset train4096 --updates 100
 """
@@ -13,6 +24,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 
@@ -21,27 +33,47 @@ import jax
 from ..agents import arena, basic, pubeval
 from ..env import bg_env
 from ..utils import checkpoint as ckpt
+from ..utils import profiling
+from ..utils.remote import maybe_store
 from ..utils.config import get_preset
 from ..utils.metrics import MetricsWriter
 from . import learner
 
 
-def league_eval(cfg, params, key):
-    """Honest quality metric (fixes SURVEY.md Q8): win rate of the
-    current policy (argmax mode) vs the fixed linear baseline."""
-    weights = pubeval.default_weights()
-
-    if cfg.ppo.policy_mode == "afterstate":
-        def pol(state, k):
-            return basic.afterstate_policy(params, state, k, cfg.model, sample=False)
+@functools.lru_cache(maxsize=None)
+def _league_policies(model_cfg, policy_mode: str):
+    """Stable-identity (memoized) policy callables for the jitted arena:
+    a fresh closure per call would defeat ``arena.play_jit``'s
+    compilation cache."""
+    if policy_mode == "afterstate":
+        def pol(params, state, key):
+            return basic.afterstate_policy(params, state, key, model_cfg,
+                                           sample=False)
     else:
-        def pol(state, k):
-            return basic.index_policy(params, state, k, cfg.model, sample=False)
+        def pol(params, state, key):
+            return basic.index_policy(params, state, key, model_cfg,
+                                      sample=False)
 
-    def base(state, k):
+    def base(weights, state, key):
         return pubeval.pubeval_actions(weights, state)
 
-    res = arena.play(pol, base, key, cfg.env, cfg.eval_games, max_plies=400)
+    return pol, base
+
+
+@functools.lru_cache(maxsize=1)
+def _league_weights():
+    return pubeval.default_weights()
+
+
+def league_eval(cfg, params, key):
+    """Honest quality metric (fixes SURVEY.md Q8): win rate of the
+    current policy (argmax mode) vs the fixed linear baseline, fully
+    jitted (one compilation per config; weights built once)."""
+    pol, base = _league_policies(cfg.model, cfg.ppo.policy_mode)
+    res = arena.play_jit(
+        pol, params, base, _league_weights(), key, cfg.env, cfg.eval_games,
+        400,
+    )
     return {
         "league/win_rate_vs_baseline": arena.win_rate(res),
         "league/finished": int(res.finished),
@@ -50,8 +82,41 @@ def league_eval(cfg, params, key):
     }
 
 
+def _make_placer(cfg):
+    """(place_env, place_ts): device placement for env/train state — the
+    dp-sharded mesh layout when >1 device is visible, identity otherwise."""
+    devices = jax.devices()
+    if len(devices) > 1 and cfg.ppo.num_envs % len(devices) == 0:
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(devices)
+        return (
+            lambda tree: pmesh.shard_batch_tree(tree, mesh),
+            lambda tree: pmesh.replicate_tree(tree, mesh),
+            mesh,
+        )
+    return (lambda tree: tree), (lambda tree: tree), None
+
+
+def _handle_overflow(cfg, update: int, metrics: dict, warned: list):
+    n_over = int(metrics.get("movegen_overflow", 0))
+    if n_over == 0 or cfg.overflow_policy == "none":
+        return
+    msg = (
+        f"movegen width-cap saturation in update {update}: {n_over} "
+        f"game-states truncated (affected doubles games degrade toward "
+        f"forced pass). Widen MovegenConfig caps or lower num_envs."
+    )
+    if cfg.overflow_policy == "abort":
+        raise RuntimeError(msg)
+    if not warned:
+        print(f"WARNING: {msg} (warning once; see movegen_overflow metric)")
+        warned.append(True)
+
+
 def train(cfg, resume: bool = True, updates: int | None = None,
-          write_metrics: bool = True):
+          write_metrics: bool = True, profile: bool = False,
+          shard: bool = True):
     num_updates = updates if updates is not None else cfg.num_updates
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_env = jax.random.split(key)
@@ -65,28 +130,43 @@ def train(cfg, resume: bool = True, updates: int | None = None,
             ts, env_state = ckpt.restore(path, (ts, env_state))
             print(f"resumed from {path} at update {int(ts.update_idx)}")
 
+    if shard:
+        place_env, place_ts, mesh = _make_placer(cfg)
+    else:
+        place_env, place_ts, mesh = (lambda t: t), (lambda t: t), None
+    ts = place_ts(ts)
+    env_state = place_env(env_state)
+    if mesh is not None:
+        print(f"sharded: {cfg.ppo.num_envs} games over {mesh.devices.size} "
+              f"devices (axis '{mesh.axis_names[0]}')")
+
     writer = MetricsWriter(cfg.metrics_path if write_metrics else None)
+    store = maybe_store(cfg.remote_url)
     steps_per_update = cfg.ppo.num_envs * cfg.ppo.t_horizon
     last_metrics = {}
     t_start = time.time()
     start_update = int(ts.update_idx)
+    overflow_warned: list = []
 
     for update in range(start_update, num_updates):
         if cfg.ppo.reset_each_update:  # reference train.py:40
             k_env = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), update)
-            env_state = bg_env.reset(k_env, cfg.env, cfg.ppo.num_envs)
+            env_state = place_env(bg_env.reset(k_env, cfg.env, cfg.ppo.num_envs))
         t0 = time.time()
-        ts, env_state, metrics = learner.train_step(
-            ts, env_state, cfg.env, cfg.model, cfg.ppo
-        )
-        metrics = jax.device_get(metrics)
+        with profiling.section("train_step", sync=profile):
+            ts, env_state, metrics = learner.train_step(
+                ts, env_state, cfg.env, cfg.model, cfg.ppo
+            )
+            metrics = jax.device_get(metrics)
         dt = time.time() - t0
         metrics["steps_per_sec"] = steps_per_update / dt
         metrics["update_time_s"] = dt
+        _handle_overflow(cfg, update, metrics, overflow_warned)
         last_metrics = metrics
         if cfg.eval_every and (update + 1) % cfg.eval_every == 0:
             k_eval = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7), update)
-            ev = league_eval(cfg, ts.params, k_eval)
+            with profiling.section("league_eval", sync=profile):
+                ev = league_eval(cfg, ts.params, k_eval)
             metrics.update(ev)
             print(
                 f"  league: win_rate={ev['league/win_rate_vs_baseline']:.3f} "
@@ -102,10 +182,19 @@ def train(cfg, resume: bool = True, updates: int | None = None,
                 f"sps={metrics['steps_per_sec']:.0f}"
             )
         if cfg.checkpoint_every and (update + 1) % cfg.checkpoint_every == 0:
-            ckpt.save(os.path.join(ckpt_dir, f"ckpt_{update + 1}"), (ts, env_state))
+            with profiling.section("checkpoint", sync=profile):
+                path = os.path.join(ckpt_dir, f"ckpt_{update + 1}")
+                ckpt.save(path, (ts, env_state))
+                if store is not None:
+                    local = path if os.path.exists(path) else path + ".npz"
+                    store.put(local, os.path.relpath(local, cfg.checkpoint_dir))
 
     total = time.time() - t_start
+    if profile:
+        print("profile sections:\n" + profiling.report())
     writer.close()
+    if store is not None and write_metrics and os.path.exists(cfg.metrics_path):
+        store.put(cfg.metrics_path, f"{cfg.name}/metrics.jsonl")
     return ts, env_state, last_metrics, total
 
 
@@ -114,11 +203,33 @@ def main():
     ap.add_argument("--preset", default="debug")
     ap.add_argument("--updates", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-section host timers (+ set PROFILE_TRACE_DIR "
+                         "for a jax.profiler trace of the first updates)")
+    # multi-host process-group flags (no-ops single-host; SURVEY.md §5.8)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
-    cfg = get_preset(args.preset)
-    ts, _, metrics, total = train(
-        cfg, resume=not args.no_resume, updates=args.updates
+
+    from ..parallel.mesh import initialize_distributed
+
+    initialize_distributed(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
     )
+
+    cfg = get_preset(args.preset)
+    trace_dir = os.environ.get("PROFILE_TRACE_DIR") if args.profile else None
+    if trace_dir:
+        with profiling.device_trace(trace_dir):
+            out = train(cfg, resume=not args.no_resume,
+                        updates=args.updates, profile=True)
+    else:
+        out = train(cfg, resume=not args.no_resume, updates=args.updates,
+                    profile=args.profile)
+    ts, _, metrics, total = out
     print(f"done: {int(ts.update_idx)} updates in {total:.1f}s")
 
 

@@ -8,6 +8,7 @@ Uses orbax if present, with a numpy ``.npz`` fallback."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
@@ -19,37 +20,71 @@ def _flatten(tree):
     return leaves, treedef
 
 
-def save(path: str, tree) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    try:
-        import orbax.checkpoint as ocp  # type: ignore
+def _fingerprint(leaves, treedef) -> str:
+    """Structure fingerprint stored beside the npz payload so a pytree
+    evolution between save and restore fails LOUDLY instead of silently
+    mis-restoring positional arrays (round-2 Weak #8)."""
+    return json.dumps(
+        {
+            "treedef": str(treedef),
+            "leaves": [
+                [list(np.shape(x)), str(np.asarray(x).dtype)] for x in leaves
+            ],
+        }
+    )
 
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), tree, force=True)
-        ckptr.wait_until_finished()
-        return
-    except Exception:
-        pass
-    leaves, _ = _flatten(tree)
+
+def save(path: str, tree, backend: str = "auto") -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if backend == "auto":
+        try:
+            import orbax.checkpoint as ocp  # type: ignore
+
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(path), tree, force=True)
+            ckptr.wait_until_finished()
+            return
+        except Exception:
+            pass
+    leaves, treedef = _flatten(tree)
     np.savez(
         path if path.endswith(".npz") else path + ".npz",
+        __fingerprint__=np.frombuffer(
+            _fingerprint(leaves, treedef).encode(), dtype=np.uint8
+        ),
         *[np.asarray(leaf) for leaf in leaves],
     )
 
 
-def restore(path: str, like):
-    """Restore a pytree with the same structure as ``like``."""
-    try:
-        import orbax.checkpoint as ocp  # type: ignore
+def restore(path: str, like, backend: str = "auto"):
+    """Restore a pytree with the same structure as ``like``; raises
+    ValueError when the stored structure (treedef / shapes / dtypes)
+    does not match ``like``."""
+    if backend == "auto":
+        try:
+            import orbax.checkpoint as ocp  # type: ignore
 
-        if os.path.isdir(path):
-            ckptr = ocp.StandardCheckpointer()
-            return ckptr.restore(os.path.abspath(path), target=like)
-    except Exception:
-        pass
+            if os.path.isdir(path):
+                ckptr = ocp.StandardCheckpointer()
+                return ckptr.restore(os.path.abspath(path), target=like)
+        except Exception:
+            if os.path.isdir(path):
+                raise
     npz_path = path if path.endswith(".npz") else path + ".npz"
     data = np.load(npz_path)
     leaves, treedef = _flatten(like)
+    if "__fingerprint__" in data:
+        stored = bytes(data["__fingerprint__"]).decode()
+        expected = _fingerprint(leaves, treedef)
+        if stored != expected:
+            s, e = json.loads(stored), json.loads(expected)
+            raise ValueError(
+                f"checkpoint structure mismatch at {npz_path}: "
+                f"saved {len(s['leaves'])} leaves "
+                f"(treedef match: {s['treedef'] == e['treedef']}), "
+                f"target expects {len(e['leaves'])}; first differing leaf: "
+                f"{next((i for i, (a, b) in enumerate(zip(s['leaves'], e['leaves'])) if a != b), 'count')}"
+            )
     new_leaves = [
         np.asarray(data[f"arr_{i}"]).astype(np.asarray(leaf).dtype)
         for i, leaf in enumerate(leaves)

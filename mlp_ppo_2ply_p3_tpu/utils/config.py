@@ -26,10 +26,15 @@ from ..ppo.learner import PPOConfig
 @dataclasses.dataclass(frozen=True)
 class SearchConfig:
     """2-ply expectimax settings (BASELINE config #4; reference dead code
-    src/moves/expect_minmax.py documents the intended capability)."""
+    src/moves/expect_minmax.py documents the intended capability).
 
-    top_k: int = 8            # 1-ply candidates kept for 2-ply expansion
-    reply_max_moves: int = 64 # cap on opponent reply list width
+    ``reply_max_moves`` defaults ABOVE the measured doubles final maximum
+    (459 over ~35k reachable position/roll pairs, core.movegen), so the
+    default search is exact — no silent reply truncation (asserted
+    overflow-free over >=10k positions in tests/test_agents.py)."""
+
+    top_k: int = 8              # 1-ply candidates kept for 2-ply expansion
+    reply_max_moves: int = 512  # cap on opponent reply list width
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +52,17 @@ class RunConfig:
     log_every: int = 1
     eval_every: int = 25          # league eval cadence (0 disables)
     eval_games: int = 256         # arena games vs the fixed baseline
+    # movegen width-cap saturation handling (the overflow flag every
+    # movegen call reports): "none" ignores, "warn" prints once per
+    # offending update, "abort" raises — a saturated doubles sub-batch
+    # degrades affected games to a forced pass, which silently corrupts
+    # training data, so the default is to warn loudly.
+    overflow_policy: str = "warn"
+    # remote blob store for checkpoints + metrics (utils.remote:
+    # file:// | s3:// | gs://; "" disables) — replaces the reference's
+    # S3 upload path (ppo_agent.py:406-470); failures never crash
+    # training.
+    remote_url: str = ""
 
 
 def _env(max_moves: int) -> EnvConfig:
@@ -103,8 +119,11 @@ _register(
 
 _register(
     RunConfig(
+        # Flagship throughput preset (BASELINE config #3): fast() movegen
+        # widths (validated caps: measured maxima + margin; saturation
+        # observable via overflow_policy="warn").
         name="train4096",
-        env=_env(256),
+        env=EnvConfig(movegen=MovegenConfig.fast(256)),
         model=ModelConfig(action_size=256),
         ppo=PPOConfig(
             num_envs=4096,
@@ -131,6 +150,30 @@ _register(
             policy_mode="afterstate",
         ),
         num_updates=1000,
+    )
+)
+
+_register(
+    RunConfig(
+        # BASELINE config #4: 2-ply expectimax evaluation.  Reached from
+        # the CLI via the league runner (python -m
+        # mlp_ppo_2ply_p3_tpu.agents.league --preset twoply) which pits
+        # 2-ply vs 1-ply of the same parameters, and usable as a training
+        # preset (the 2-ply agent is an eval/league policy, so training
+        # settings mirror train4096 at a smaller batch).
+        name="twoply",
+        env=_env(256),
+        model=ModelConfig(action_size=256),
+        ppo=PPOConfig(
+            num_envs=256,
+            t_horizon=64,
+            num_minibatches=8,
+            normalize_adv=True,
+            normalize_returns=False,
+        ),
+        search=SearchConfig(top_k=8, reply_max_moves=512),
+        num_updates=1000,
+        eval_games=64,
     )
 )
 

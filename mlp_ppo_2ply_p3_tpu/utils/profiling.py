@@ -65,6 +65,69 @@ def report(clear: bool = True) -> str:
     return "\n".join(lines)
 
 
+def _hard_sync(out):
+    """Fence on ``out`` with an actual host readback of its smallest
+    array leaf: under remote-PJRT tunnels (the "axon" TPU plugin)
+    ``block_until_ready`` can return before execution finishes, so a
+    device->host transfer is the only reliable completion barrier."""
+    leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "nbytes")]
+    if leaves:
+        jax.device_get(min(leaves, key=lambda x: x.nbytes))
+
+
+def timeit(fn, n: int = 5, warmup: int = 1) -> float:
+    """Mean wall-clock seconds of ``fn()`` over ``n`` back-to-back async
+    dispatches after ``warmup`` compile calls, fenced with a host
+    readback (see ``_hard_sync``).  The shared timer for big steps
+    (rollout / train_step); for sub-millisecond pieces use ``timed_scan``
+    so per-call dispatch latency doesn't dominate."""
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    _hard_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    _hard_sync(out)
+    return (time.perf_counter() - t0) / n
+
+
+def timed_scan(fn, *args, iters: int = 20) -> float:
+    """Mean seconds per call of ``fn(*args)`` with ``iters`` iterations
+    fused into ONE jitted ``lax.scan`` whose carry is genuinely
+    value-perturbed by the previous output (a data-dependent +0/+1 on an
+    integer input), so XLA cannot hoist (LICM), slice (DCE), or
+    algebraically fold the body; the timer syncs with a scalar host
+    readback because ``block_until_ready`` can return early under remote
+    PJRT tunnels.  The right tool for micro-benchmarking kernel pieces
+    on the chip (scripts/perf_movegen.py, scripts/perf_breakdown.py)."""
+    import jax.numpy as jnp
+
+    int_ok = [i for i, a in enumerate(args) if a.dtype != jnp.bool_]
+    idx = min(int_ok, key=lambda i: args[i].nbytes)
+
+    @jax.jit
+    def run(args):
+        def body(c, _):
+            out = fn(*c)
+            tag = sum(
+                jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32))
+                for x in jax.tree_util.tree_leaves(out)
+            ).astype(jnp.int32)
+            t = c[idx]
+            newt = (t + (tag & 1).astype(t.dtype)).astype(t.dtype)
+            c = tuple(newt if i == idx else a for i, a in enumerate(c))
+            return c, tag
+
+        _, outs = jax.lax.scan(body, args, None, length=iters)
+        return outs[-1]
+
+    run(args).item()  # compile + warm
+    t0 = time.perf_counter()
+    run(args).item()  # true sync via readback
+    return (time.perf_counter() - t0) / iters
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """Capture a jax.profiler trace viewable in TensorBoard's profile tab."""

@@ -12,7 +12,6 @@ Usage: python scripts/perf_movegen.py [B] [section,section,...]
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -20,36 +19,7 @@ import jax.numpy as jnp
 from mlp_ppo_2ply_p3_tpu.core import board as B
 from mlp_ppo_2ply_p3_tpu.core import movegen as MG
 from mlp_ppo_2ply_p3_tpu.env import bg_env
-
-ITERS = 20
-
-
-def timed_scan(fn, *args, iters=ITERS):
-    # perturb an integer arg (prefer smallest) by a data-dependent 0/1
-    int_ok = [i for i, a in enumerate(args) if a.dtype != jnp.bool_]
-    idx = min(int_ok, key=lambda i: args[i].nbytes)
-
-    @jax.jit
-    def run(args):
-        def body(c, _):
-            out = fn(*c)
-            tag = sum(
-                jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32))
-                for x in jax.tree.leaves(out)
-            ).astype(jnp.int32)
-            t = c[idx]
-            # genuine value change: +0 or +1 depending on runtime data
-            newt = (t + (tag & 1).astype(t.dtype)).astype(t.dtype)
-            c = tuple(newt if i == idx else a for i, a in enumerate(c))
-            return c, tag
-
-        _, outs = jax.lax.scan(body, args, None, length=iters)
-        return outs[-1]
-
-    run(args).item()  # compile + warm
-    t0 = time.time()
-    run(args).item()  # true sync via readback
-    return (time.time() - t0) / iters
+from mlp_ppo_2ply_p3_tpu.utils.profiling import timed_scan
 
 
 def main():

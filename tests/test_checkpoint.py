@@ -44,6 +44,28 @@ def test_roundtrip_exact(tmp_path):
     assert float(out_a[2]["loss"]) == float(out_b[2]["loss"])
 
 
+def test_structure_mismatch_fails_loudly(tmp_path):
+    """A pytree evolution between save and restore must raise, not
+    silently mis-restore positional arrays (round-2 Weak #8)."""
+    import pytest
+
+    path = os.path.join(tmp_path, "ckpt_1")
+    ckpt.save(path, {"a": jnp.ones((2, 3)), "b": jnp.zeros((4,), jnp.int32)},
+              backend="npz")
+    # same leaf count, different shapes/names
+    with pytest.raises(ValueError, match="structure mismatch"):
+        ckpt.restore(path, {"a": jnp.ones((2, 3)), "c": jnp.zeros((5,), jnp.int32)},
+                     backend="npz")
+    # different dtype
+    with pytest.raises(ValueError, match="structure mismatch"):
+        ckpt.restore(path, {"a": jnp.ones((2, 3)), "b": jnp.zeros((4,), jnp.float32)},
+                     backend="npz")
+    # matching structure still restores
+    out = ckpt.restore(path, {"a": jnp.zeros((2, 3)), "b": jnp.ones((4,), jnp.int32)},
+                       backend="npz")
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.ones((2, 3)))
+
+
 def test_latest_selection(tmp_path):
     d = str(tmp_path)
     for step in (3, 12, 7):
