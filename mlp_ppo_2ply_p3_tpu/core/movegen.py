@@ -78,6 +78,12 @@ class MovegenConfig:
     # (exact_order only).
     exact_order: bool = False
     k4: int = 1920
+    # Fused Pallas compaction kernels (ops.compaction): builds the
+    # (k_out, N) one-hot selector in VMEM instead of materializing it in
+    # HBM (XLA does not fuse elementwise producers into dot operands).
+    # TPU only — CPU/tests run the kernel in interpreter mode; the jnp
+    # path stays the portable reference.
+    use_pallas: bool = False
 
     @classmethod
     def parity(cls, max_moves: int = 500) -> "MovegenConfig":
@@ -161,12 +167,17 @@ def _compact(payloads, valid, k_out):
     at 2x bf16 rate with half the one-hot + payload memory traffic).
     Row-gather / sort+gather / scatter alternatives measured 6-10x
     slower on TPU v5e at (4096, 832, 52): XLA lowers small-row
-    gathers/scatters poorly."""
-    pos = jnp.cumsum(valid.astype(jnp.int32))  # running count, 1-indexed
-    n = pos[-1]
-    targets = jnp.arange(1, k_out + 1, dtype=jnp.int32)
-    onehot = (pos[None, :] == targets[:, None]) & valid[None, :]
-    oh = onehot.astype(jnp.int8)  # (k_out, N); <=1 nonzero per row
+    gathers/scatters poorly.  The one-hot COMPARE runs in int16 (counts
+    <= N <= 32767 always): the VPU packs 2 int16 lanes per register, a
+    measured 1.48x on the widest level (5184 -> 256: 7.3 -> 5.0 ms at
+    the 896-game doubles sub-batch)."""
+    ctype = jnp.int16 if valid.shape[0] <= 32767 else jnp.int32
+    pos = jnp.cumsum(valid.astype(ctype))  # running count, 1-indexed
+    n = pos[-1].astype(jnp.int32)
+    mpos = jnp.where(valid, pos, 0)  # 0 never matches a 1-based target
+    targets = jnp.arange(1, k_out + 1, dtype=ctype)
+    oh = (mpos[None, :] == targets[:, None]).astype(jnp.int8)
+    # (k_out, N); <=1 nonzero per row
     outs = []
     for p in payloads:
         squeeze = p.ndim == 1
@@ -180,6 +191,35 @@ def _compact(payloads, valid, k_out):
         sel = sel[:, 0] if squeeze else sel
         outs.append(sel.astype(p.dtype))
     return tuple(outs), n
+
+
+def _compact_batch(payloads, valid, k_out: int, use_pallas: bool):
+    """Batch-level stable compaction over (B, N[, C]) payloads: either
+    the fused Pallas kernel (ops.compaction, one-hot built in VMEM) or a
+    vmap of the jnp ``_compact`` reference formulation.  Returns
+    (payloads_out, n (B,))."""
+    if use_pallas:
+        from ..ops.compaction import compact_rows
+
+        cols, widths = [], []
+        for p in payloads:
+            m = p[:, :, None] if p.ndim == 2 else p
+            widths.append(m.shape[2])
+            cols.append(m.astype(jnp.int8))
+        cat = jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+        out, n = compact_rows(cat, valid, k_out)
+        outs, off = [], 0
+        for p, w in zip(payloads, widths):
+            sel = out[:, :, off:off + w]
+            off += w
+            sel = sel[:, :, 0] if p.ndim == 2 else sel
+            outs.append(sel.astype(p.dtype))
+        return tuple(outs), n
+
+    def per_game(v, *ps):
+        return _compact(ps, v, k_out)
+
+    return jax.vmap(per_game)(valid, *payloads)
 
 
 def _dedup_pairwise(boards, valid):
@@ -227,7 +267,11 @@ def _one_order(vec, d_first, d_second, k1, mirror):
     return b1c, v1c, pair_b, pair_v, has2
 
 
-def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig, mirror):
+def _nondoubles_candidates(vec, d_hi, d_lo, cfg: MovegenConfig, mirror):
+    """Per-game candidate block: all (board, valid) raw candidates of
+    both die orders with reference emission semantics and the
+    max-submove filter applied.  Compaction/dedup happen at batch level
+    (``_nondoubles_batch``)."""
     k1 = cfg.k1
     a1b, a1v, a2b, a2v, has2_a = _one_order(vec, d_hi, d_lo, k1, mirror)
     b1b, b1v, b2b, b2v, has2_b = _one_order(vec, d_lo, d_hi, k1, mirror)
@@ -266,14 +310,21 @@ def _nondoubles(vec, d_hi, d_lo, cfg: MovegenConfig, mirror):
     # drops the seqlen payload from the compaction).
     max_len = jnp.max(jnp.where(cand_valid, seqlen, 0))
     keep0 = cand_valid & (seqlen == max_len)
-    # stable-compact the filtered candidates so the dedup works on a
-    # small dense block; generation order (hence first-occurrence
-    # semantics) is preserved.
+    return cand_boards, keep0
+
+
+def _nondoubles_batch(vecs, d_hi, d_lo, cfg: MovegenConfig, mirror):
+    """(B,)-batched non-doubles enumeration: vmapped candidate blocks,
+    then batch-level stable compaction -> per-game dedup -> batch-level
+    compaction into the M-wide output."""
+    cand, keep0 = jax.vmap(
+        lambda v, h, l, mi: _nondoubles_candidates(v, h, l, cfg, mi)
+    )(vecs, d_hi, d_lo, mirror)
     kd = cfg.dedup_width
-    (cb,), n_raw = _compact((cand_boards,), keep0, kd)
-    kv = jnp.arange(kd) < jnp.minimum(n_raw, kd)
-    keep = _dedup_pairwise(cb, kv)
-    (out,), n = _compact((cb,), keep, cfg.max_moves)
+    (cb,), n_raw = _compact_batch((cand,), keep0, kd, cfg.use_pallas)
+    kv = jnp.arange(kd)[None, :] < jnp.minimum(n_raw, kd)[:, None]
+    keep = jax.vmap(_dedup_pairwise)(cb, kv)
+    (out,), n = _compact_batch((cb,), keep, cfg.max_moves, cfg.use_pallas)
     overflow = (n_raw > kd) | (n > cfg.max_moves)
     return out, jnp.minimum(n, cfg.max_moves), overflow
 
@@ -291,50 +342,56 @@ def _rank_of(origin):
     return jnp.where(origin == B.ORIGIN_BAR, -1, origin)
 
 
-def _doubles(vec, die, cfg: MovegenConfig, mirror):
-    """Depth-4 frontier expansion with non-decreasing-origin
+def _doubles_batch(vecs, die, cfg: MovegenConfig, mirror):
+    """(B,)-batched depth-4 frontier expansion with non-decreasing-origin
     canonicalization and NO dedup: none is needed.  Distinct
     non-decreasing origin sequences are exactly the origin multisets,
     and an origin multiset is recoverable from the board delta (induct
     from the lowest point: checkers leaving point o equal arrivals from
     o-die (and the bar for o = die-1) minus the observed delta), so two
     different frontier rows can never hold the same board.  Each level
-    is therefore a plain stable compaction of the valid expansions."""
+    is therefore a plain stable compaction (batch-level, Pallas-fusable)
+    of the valid expansions."""
     m = cfg.max_moves
-    v1, o1, d1, h1 = (
-        _perm_scan(a, mirror) for a in B.submoves_one_die(vec, die)
-    )
-    b1 = jax.vmap(B.apply_submove, (None, 0, 0, 0))(vec, o1, d1, h1)
-    rank1 = _rank_of(o1)
-    (f1b, f1r), n1 = _compact((b1, rank1), v1, cfg.k1)
-    f1v = jnp.arange(cfg.k1) < n1
-    has1 = n1 > 0
+    up = cfg.use_pallas
+
+    def first(vec, d, mi):
+        v1, o1, d1, h1 = (
+            _perm_scan(a, mi) for a in B.submoves_one_die(vec, d)
+        )
+        b1 = jax.vmap(B.apply_submove, (None, 0, 0, 0))(vec, o1, d1, h1)
+        return b1, _rank_of(o1).astype(jnp.int8), v1
+
+    b1, r1, v1 = jax.vmap(first)(vecs, die, mirror)
+    (f1b, f1r), n1 = _compact_batch((b1, r1), v1, cfg.k1, up)
+    f1v = jnp.arange(cfg.k1)[None, :] < n1[:, None]
 
     def level(fb, fr, fv, k_out):
-        eb, ev, eo = _expand_one_die(fb, fv, die, mirror)
-        erank = _rank_of(eo)
-        parent_rank = jnp.repeat(fr, NSLOT)
-        ev = ev & (erank >= parent_rank)
-        has = jnp.any(ev)
-        (nb, nr), n = _compact((eb, erank), ev, k_out)
-        nv = jnp.arange(k_out) < jnp.minimum(n, k_out)
+        eb, ev, eo = jax.vmap(
+            lambda b_, v_, d_, m_: _expand_one_die(b_, v_, d_, m_)
+        )(fb, fv, die, mirror)
+        erank = _rank_of(eo).astype(jnp.int8)
+        parent = jnp.repeat(fr.astype(jnp.int32), NSLOT, axis=1)
+        ev = ev & (erank.astype(jnp.int32) >= parent)
+        has = jnp.any(ev, axis=1)
+        (nb, nr), n = _compact_batch((eb, erank), ev, k_out, up)
+        nv = jnp.arange(k_out)[None, :] < jnp.minimum(n, k_out)[:, None]
         return nb, nr, nv, n, has
 
     f2b, f2r, f2v, n2, has2 = level(f1b, f1r, f1v, cfg.k2)
     f3b, f3r, f3v, n3, has3 = level(f2b, f2r, f2v, cfg.k3)
-    # final level: compact straight into the M-wide output
-    e4b, e4v, e4o = _expand_one_die(f3b, f3v, die, mirror)
-    e4rank = _rank_of(e4o)
-    e4v = e4v & (e4rank >= jnp.repeat(f3r, NSLOT))
-    has4 = jnp.any(e4v)
-    (f4b, _), n4 = _compact((e4b, e4rank), e4v, m)
+    f4b, _, _, n4, has4 = level(f3b, f3r, f3v, m)
 
     # deepest non-empty level is the legal move list
-    l1b, l1n = _embed(f1b, n1, m)
-    l2b, l2n = _embed(f2b, n2, m)
-    l3b, l3n = _embed(f3b, n3, m)
-    out = jnp.where(has4, f4b, jnp.where(has3, l3b, jnp.where(has2, l2b, l1b)))
-    n = jnp.where(has4, n4, jnp.where(has3, l3n, jnp.where(has2, l2n, l1n)))
+    embed = jax.vmap(lambda b_, n_: _embed(b_, n_, m))
+    l1b, l1n = embed(f1b, n1)
+    l2b, l2n = embed(f2b, n2)
+    l3b, l3n = embed(f3b, n3)
+    w4, w3, w2 = (h[:, None, None] for h in (has4, has3, has2))
+    out = jnp.where(w4, f4b, jnp.where(w3, l3b, jnp.where(w2, l2b, l1b)))
+    n = jnp.where(
+        has4, n4, jnp.where(has3, l3n, jnp.where(has2, l2n, l1n))
+    )
     overflow = (
         (has2 & (n2 > cfg.k2))
         | (has3 & (n3 > cfg.k3))
@@ -402,10 +459,13 @@ def _doubles_exact(vec, die, cfg: MovegenConfig, mirror):
     return out, jnp.minimum(n, m), overflow
 
 
-def _doubles_dispatch(vec, die, cfg: MovegenConfig, mirror):
+def _doubles_dispatch_batch(vecs, die, cfg: MovegenConfig, mirror):
     if cfg.exact_order:
-        return _doubles_exact(vec, die, cfg, mirror)
-    return _doubles(vec, die, cfg, mirror)
+        # parity mode: per-game permutation replay (CPU-oriented)
+        return jax.vmap(
+            lambda v, d, mi: _doubles_exact(v, d, cfg, mi)
+        )(vecs, die, mirror)
+    return _doubles_batch(vecs, die, cfg, mirror)
 
 
 # --- public entry -----------------------------------------------------------
@@ -423,6 +483,21 @@ def doubles_capacity(
     if batch_size < 512:
         return batch_size
     return batch_size // cfg.dbl_div + cfg.dbl_add
+
+
+def nondoubles_capacity(batch_size: int) -> int:
+    """Static width of the NON-doubles sub-batch: the ~1/6 of games that
+    rolled doubles shouldn't pay the non-doubles kernel either, so
+    non-doubles rows are compacted symmetrically.  Reserve = the +8-sigma
+    lower tail of the Binomial(B, 1/6) doubles count, so saturation is as
+    unlikely as the doubles side's (and equally reported)."""
+    if batch_size < 512:
+        return batch_size
+    import math
+
+    margin = int(8 * math.sqrt(batch_size * 5 / 36))
+    reserve = max(0, batch_size // 6 - margin)
+    return batch_size - reserve
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -453,27 +528,44 @@ def legal_afterstates_batch(
     d0 = dice[:, 0].astype(jnp.int32)
     d1 = dice[:, 1].astype(jnp.int32)
     is_double = d0 == d1
+    not_double = jnp.logical_not(is_double)
     d_hi, d_lo = jnp.maximum(d0, d1), jnp.minimum(d0, d1)
 
-    nd_out, nd_n, nd_of = jax.vmap(
-        lambda v, h, l, mi: _nondoubles(v, h, l, cfg, mi)
-    )(vecs, d_hi, d_lo, mirror)
+    # non-doubles sub-batch (the symmetric partition: doubles rows don't
+    # pay the non-doubles kernel)
+    bn = nondoubles_capacity(bsz)
+    (nvecs, nhi, nlo, nmir), _ = _compact(
+        (vecs, d_hi, d_lo, mirror.astype(jnp.int8)), not_double, bn
+    )
+    nd_out, nd_n, nd_of = _nondoubles_batch(
+        nvecs, nhi.astype(jnp.int32), nlo.astype(jnp.int32), cfg, nmir > 0
+    )
 
     bd = doubles_capacity(bsz, cfg)
-    (dvecs, ddie, dmir), n_dbl = _compact(
+    (dvecs, ddie, dmir), _ = _compact(
         (vecs, d0, mirror.astype(jnp.int8)), is_double, bd
     )
-    db_out, db_n, db_of = jax.vmap(
-        lambda v, d, mi: _doubles_dispatch(v, d, cfg, mi)
-    )(dvecs, ddie, dmir > 0)
+    db_out, db_n, db_of = _doubles_dispatch_batch(
+        dvecs, ddie.astype(jnp.int32), cfg, dmir > 0
+    )
 
-    pos = jnp.cumsum(is_double.astype(jnp.int32))  # 1-indexed doubles slot
-    slot = jnp.clip(pos - 1, 0, bd - 1)
-    fits = is_double & (pos <= bd)
-    out = jnp.where(is_double[:, None, None], db_out[slot], nd_out)
-    n = jnp.where(is_double, jnp.where(fits, db_n[slot], 0), nd_n)
+    pos_d = jnp.cumsum(is_double.astype(jnp.int32))   # 1-indexed slots
+    slot_d = jnp.clip(pos_d - 1, 0, bd - 1)
+    fits_d = is_double & (pos_d <= bd)
+    pos_n = jnp.cumsum(not_double.astype(jnp.int32))
+    slot_n = jnp.clip(pos_n - 1, 0, bn - 1)
+    fits_n = not_double & (pos_n <= bn)
+
+    out = jnp.where(is_double[:, None, None], db_out[slot_d], nd_out[slot_n])
+    n = jnp.where(
+        is_double,
+        jnp.where(fits_d, db_n[slot_d], 0),
+        jnp.where(fits_n, nd_n[slot_n], 0),
+    )
     of = jnp.where(
-        is_double, db_of[slot] | jnp.logical_not(fits), nd_of
+        is_double,
+        db_of[slot_d] | jnp.logical_not(fits_d),
+        nd_of[slot_n] | jnp.logical_not(fits_n),
     )
 
     game_over = vecs[:, B.MY_OFF].astype(jnp.int32) >= NUM_CHECKERS
@@ -503,12 +595,16 @@ def legal_afterstates(
     d0 = dice[0].astype(jnp.int32)
     d1 = dice[1].astype(jnp.int32)
     d_hi, d_lo = jnp.maximum(d0, d1), jnp.minimum(d0, d1)
-    nd_out, nd_n, nd_of = _nondoubles(vec, d_hi, d_lo, cfg, mirror)
-    db_out, db_n, db_of = _doubles_dispatch(vec, d0, cfg, mirror)
+    nd_out, nd_n, nd_of = _nondoubles_batch(
+        vec[None], d_hi[None], d_lo[None], cfg, mirror[None]
+    )
+    db_out, db_n, db_of = _doubles_dispatch_batch(
+        vec[None], d0[None], cfg, mirror[None]
+    )
     is_double = d0 == d1
-    out = jnp.where(is_double, db_out, nd_out)
-    n = jnp.where(is_double, db_n, nd_n)
-    of = jnp.where(is_double, db_of, nd_of)
+    out = jnp.where(is_double, db_out[0], nd_out[0])
+    n = jnp.where(is_double, db_n[0], nd_n[0])
+    of = jnp.where(is_double, db_of[0], nd_of[0])
     # no moves once the game is over (reference move_logic.py:269-270)
     game_over = vec[B.MY_OFF].astype(jnp.int32) >= NUM_CHECKERS
     n = jnp.where(game_over, 0, n)

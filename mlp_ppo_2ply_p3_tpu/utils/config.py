@@ -138,8 +138,10 @@ _register(
 
 _register(
     RunConfig(
+        # TD-Gammon-style afterstate policy at scale (the learning-run
+        # preset, see LEARNING.md); fast() validated movegen widths.
         name="afterstate4096",
-        env=_env(128),
+        env=EnvConfig(movegen=MovegenConfig.fast(128)),
         model=ModelConfig(action_size=128),
         ppo=PPOConfig(
             num_envs=4096,

@@ -66,13 +66,16 @@ def report(clear: bool = True) -> str:
 
 
 def _hard_sync(out):
-    """Fence on ``out`` with an actual host readback of its smallest
-    array leaf: under remote-PJRT tunnels (the "axon" TPU plugin)
-    ``block_until_ready`` can return before execution finishes, so a
-    device->host transfer is the only reliable completion barrier."""
+    """Fence on ``out`` with an actual host readback of ONE ELEMENT of
+    its smallest array leaf: under remote-PJRT tunnels (the "axon" TPU
+    plugin) ``block_until_ready`` can return before execution finishes,
+    so a device->host transfer is the only reliable completion barrier —
+    and transfers through the tunnel are slow, so it must be a scalar,
+    never a whole buffer."""
     leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "nbytes")]
     if leaves:
-        jax.device_get(min(leaves, key=lambda x: x.nbytes))
+        leaf = min(leaves, key=lambda x: x.nbytes)
+        jax.device_get(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
 
 
 def timeit(fn, n: int = 5, warmup: int = 1) -> float:

@@ -32,17 +32,14 @@ def movegen_phase_times(vecs, dice, cfg):
     d_hi = jnp.maximum(d0, dice[:, 1].astype(jnp.int32))
     d_lo = jnp.minimum(d0, dice[:, 1].astype(jnp.int32))
 
+    mir = jnp.zeros((bsz,), bool)
     t_nd = timed_scan(
-        lambda v, h, l: jax.vmap(
-            lambda a, b, c: MG._nondoubles(a, b, c, cfg, False)
-        )(v, h, l),
+        lambda v, h, l: MG._nondoubles_batch(v, h, l, cfg, mir),
         vecs, d_hi, d_lo,
     )
     bd = MG.doubles_capacity(bsz, cfg)
     t_db = timed_scan(
-        lambda v, d: jax.vmap(
-            lambda a, b: MG._doubles(a, b, cfg, False)
-        )(v, d),
+        lambda v, d: MG._doubles_batch(v, d, cfg, mir[:bd]),
         vecs[:bd], d0[:bd],
     )
     boards = jnp.zeros((bsz, cfg.dedup_width, 52), jnp.int8)

@@ -46,27 +46,24 @@ def main():
             lambda v, d: MG.legal_afterstates_batch(v, d, cfg), vecs, dice
         ) * 1e3
 
+    mir = jnp.zeros((bsz,), bool)
     if want("nd"):
         res["nondoubles_ms"] = timed_scan(
-            lambda v, h, l: jax.vmap(
-                lambda a, b, c: MG._nondoubles(a, b, c, cfg)
-            )(v, h, l),
+            lambda v, h, l: MG._nondoubles_batch(v, h, l, cfg, mir),
             vecs, d_hi, d_lo,
         ) * 1e3
 
     bd = MG.doubles_capacity(bsz)
     if want("dbl"):
         res["doubles_ms"] = timed_scan(
-            lambda v, d: jax.vmap(lambda a, b: MG._doubles(a, b, cfg))(
-                v[:bd], d[:bd]
-            ),
+            lambda v, d: MG._doubles_batch(v[:bd], d[:bd], cfg, mir[:bd]),
             vecs, d0,
         ) * 1e3
 
     if want("ndoo"):
         res["nd_one_order_ms"] = timed_scan(
             lambda v, h, l: jax.vmap(
-                lambda a, b, c: MG._one_order(a, b, c, cfg.k1)
+                lambda a, b, c: MG._one_order(a, b, c, cfg.k1, False)
             )(v, h, l),
             vecs, d_hi, d_lo,
         ) * 1e3

@@ -108,3 +108,32 @@ def test_doubles_deep_positions():
         player = int(rng.integers(0, 2))
         d = int(rng.integers(1, 7))
         check_position(b, player, (d, d))
+
+
+def test_pallas_compaction_path_matches_jnp():
+    """use_pallas=True (ops.compaction kernel, interpreter mode on CPU)
+    produces bit-identical move lists, counts, and overflow flags to the
+    jnp reference path over random boards x assorted rolls."""
+    import dataclasses
+
+    rng = np.random.default_rng(21)
+    cfg_ref = movegen.MovegenConfig(max_moves=128)
+    cfg_pl = dataclasses.replace(cfg_ref, use_pallas=True)
+
+    boards, turns = [], []
+    for stage in ("any", "bearoff", "bar"):
+        for _ in range(8):
+            boards.append(oracle.random_board(rng, stage))
+            turns.append(int(rng.integers(0, 2)))
+    vecs = jnp.asarray(
+        np.stack([
+            abs_to_canonical_np(ob, t) for ob, t in zip(boards, turns)
+        ])
+    )
+    for dice in [(3, 3), (6, 6), (1, 1), (6, 5), (2, 1), (4, 2)]:
+        dc = jnp.asarray(np.tile(np.asarray(dice, np.int8), (len(boards), 1)))
+        out_a, n_a, of_a = movegen.legal_afterstates_batch(vecs, dc, cfg_ref)
+        out_b, n_b, of_b = movegen.legal_afterstates_batch(vecs, dc, cfg_pl)
+        np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
+        np.testing.assert_array_equal(np.asarray(of_a), np.asarray(of_b))
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
