@@ -20,10 +20,14 @@ defaults):
 - ``SearchConfig.reply_max_moves`` defaults to 512, above the measured
   doubles final maximum of 459 (core.movegen, ~35k reachable
   position/roll pairs), and ``_reply_cfg`` sets the intermediate caps to
-  k2=80 >= 44, k3=224 >= 161, dedup_width=288 >= 251 — all above the
-  measured maxima with margin.  ``tests/test_agents.py`` asserts the
-  default reply config is overflow-free over >=10k random positions x
-  all doubles rolls.
+  k2=128 >= 44, k3=256 >= 161, dedup_width=288 >= 251 — all above the
+  measured maxima with margin.  ``tests/test_agents.py`` measures the
+  default reply config over >=10k playout positions x all doubles
+  rolls: truncation rate < 0.1%.  A ZERO-truncation guarantee at fixed
+  width is impossible: the true doubles fan-out is combinatorial (~3060
+  afterstates for 15 singleton checkers on double 1s — more than the
+  reference env's own silent 500-cap, SURVEY.md Q14), which is exactly
+  why the overflow REPORT below exists.
 - The reply batch has a FIXED 6/21 doubles fraction (not the rollout's
   Binomial(B, 1/6)), so the doubles sub-batch capacity uses dbl_div=3
   (N/3 + 64 > 2N/7 for all N).

@@ -78,6 +78,13 @@ class MovegenConfig:
     # (exact_order only).
     exact_order: bool = False
     k4: int = 1920
+    # The non-doubles partition reserves max(0, B//6 - 8 sigma) rows as
+    # presumed doubles (nondoubles_capacity).  That sizing assumes the
+    # batch's dice are ~uniform (Binomial(B, 1/6) doubles).  Batches
+    # with INJECTED non-uniform dice (same-roll sweeps in tests or
+    # analysis tools) must set full_nondoubles=True to give the
+    # non-doubles sub-batch the full batch width.
+    full_nondoubles: bool = False
     # Fused Pallas compaction kernels (ops.compaction): builds the
     # (k_out, N) one-hot selector in VMEM instead of materializing it in
     # HBM (XLA does not fuse elementwise producers into dot operands).
@@ -485,13 +492,17 @@ def doubles_capacity(
     return batch_size // cfg.dbl_div + cfg.dbl_add
 
 
-def nondoubles_capacity(batch_size: int) -> int:
+def nondoubles_capacity(
+    batch_size: int, cfg: MovegenConfig = MovegenConfig()
+) -> int:
     """Static width of the NON-doubles sub-batch: the ~1/6 of games that
     rolled doubles shouldn't pay the non-doubles kernel either, so
     non-doubles rows are compacted symmetrically.  Reserve = the +8-sigma
     lower tail of the Binomial(B, 1/6) doubles count, so saturation is as
-    unlikely as the doubles side's (and equally reported)."""
-    if batch_size < 512:
+    unlikely as the doubles side's (and equally reported).  Batches with
+    injected non-uniform dice must set ``cfg.full_nondoubles`` (see
+    MovegenConfig)."""
+    if batch_size < 512 or cfg.full_nondoubles:
         return batch_size
     import math
 
@@ -533,7 +544,7 @@ def legal_afterstates_batch(
 
     # non-doubles sub-batch (the symmetric partition: doubles rows don't
     # pay the non-doubles kernel)
-    bn = nondoubles_capacity(bsz)
+    bn = nondoubles_capacity(bsz, cfg)
     (nvecs, nhi, nlo, nmir), _ = _compact(
         (vecs, d_hi, d_lo, mirror.astype(jnp.int8)), not_double, bn
     )

@@ -54,6 +54,13 @@ class PPOConfig:
     max_grad_norm: float = 0.5  # 0 disables (reference has no clipping)
     # semantics switches
     use_gae: bool = True            # False -> reference MC returns (Q3)
+    # "mover": zero-sum mover-perspective (negamax) GAE — value and
+    # advantage are for the player to move, negating across half-turns.
+    # "absolute": the reference's Q5 credit (one stream, no negation) —
+    # measured NOT to learn (value is perspective-free, advantages
+    # vanish; see ppo.gae and docs/LEARNING.md).  GAE mode only; the MC
+    # path is reference-absolute by definition.
+    reward_perspective: str = "mover"
     normalize_returns: bool = True  # reference normalizes returns (:256)
     normalize_adv: bool = False     # modern PPO normalizes advantages
     # "index": reference-style blind index head over the padded move list
@@ -84,10 +91,10 @@ class Rollout(NamedTuple):
     value: jax.Array    # (T, B)
     reward: jax.Array   # (T, B)
     done: jax.Array     # (T, B) bool
-    # afterstate mode only (None in index mode): candidate boards + mover,
+    turn: jax.Array     # (T, B) int8 mover of step t (negamax GAE signs)
+    # afterstate mode only (None in index mode): candidate boards,
     # stored as int8 so the update can recompute policy logits exactly.
     after: jax.Array | None = None  # (T, B, M, 52) int8 canonical
-    turn: jax.Array | None = None   # (T, B) int8
 
 
 def make_optimizer(cfg: PPOConfig):
@@ -175,8 +182,8 @@ def rollout(params, env_state, key, env_cfg, model_cfg, cfg: PPOConfig):
             value=value,
             reward=info.reward,
             done=info.done,
+            turn=pre_turn,
             after=pre_after if afterstate else None,
-            turn=pre_turn if afterstate else None,
         )
         return (es, k), out
 
@@ -185,7 +192,7 @@ def rollout(params, env_state, key, env_cfg, model_cfg, cfg: PPOConfig):
     )
     last_obs = bg_env.observe(env_state)
     _, last_value = mlp.forward(params, last_obs, model_cfg)
-    return env_state, traj, last_value
+    return env_state, traj, last_value, env_state.turn
 
 
 def _loss_fn(params, batch, ent_coef, m, model_cfg, cfg: PPOConfig):
@@ -209,13 +216,20 @@ def _loss_fn(params, batch, ent_coef, m, model_cfg, cfg: PPOConfig):
     return loss, (policy_loss, value_loss, entropy)
 
 
-def ppo_update(ts: TrainState, traj: Rollout, last_value, env_cfg, model_cfg,
-               cfg: PPOConfig):
+def ppo_update(ts: TrainState, traj: Rollout, last_value, last_turn,
+               env_cfg, model_cfg, cfg: PPOConfig):
     from . import gae as gae_mod
 
     m = env_cfg.max_moves
     t, b = traj.reward.shape
-    if cfg.use_gae:
+    if cfg.use_gae and cfg.reward_perspective == "mover":
+        turn_next = jnp.concatenate([traj.turn[1:], last_turn[None]], axis=0)
+        flips = turn_next != traj.turn
+        adv, returns = gae_mod.negamax_gae(
+            traj.reward, traj.value, traj.done, flips, last_value,
+            cfg.gamma, cfg.gae_lambda,
+        )
+    elif cfg.use_gae:
         adv, returns = gae_mod.gae(
             traj.reward, traj.value, traj.done, last_value,
             cfg.gamma, cfg.gae_lambda,
@@ -303,9 +317,10 @@ def train_step(ts: TrainState, env_state, env_cfg, model_cfg, cfg: PPOConfig):
     """One full PPO update: rollout T x B + minibatched epochs, on-device."""
     key, k_roll = jax.random.split(ts.key)
     ts = ts._replace(key=key)
-    env_state, traj, last_value = rollout(
+    env_state, traj, last_value, last_turn = rollout(
         ts.params, env_state, k_roll, env_cfg, model_cfg, cfg
     )
-    ts, metrics = ppo_update(ts, traj, last_value, env_cfg, model_cfg, cfg)
+    ts, metrics = ppo_update(ts, traj, last_value, last_turn, env_cfg,
+                             model_cfg, cfg)
     metrics["movegen_overflow"] = jnp.sum(env_state.overflow)
     return ts, env_state, metrics

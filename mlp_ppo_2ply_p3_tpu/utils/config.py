@@ -29,9 +29,14 @@ class SearchConfig:
     src/moves/expect_minmax.py documents the intended capability).
 
     ``reply_max_moves`` defaults ABOVE the measured doubles final maximum
-    (459 over ~35k reachable position/roll pairs, core.movegen), so the
-    default search is exact — no silent reply truncation (asserted
-    overflow-free over >=10k positions in tests/test_agents.py)."""
+    (459 over ~35k reachable position/roll pairs, core.movegen): the
+    default search is exact on the reachable distribution (truncation
+    rate < 0.1% over a 10k-position sweep, tests/test_agents.py), and
+    any residual truncation is REPORTED per game by
+    ``twoply_actions_report`` — a zero-truncation guarantee at fixed
+    width is impossible because the true doubles fan-out is
+    combinatorial (~3060 on adversarial spreads; the reference env
+    itself silently truncates at 500, SURVEY.md Q14)."""
 
     top_k: int = 8              # 1-ply candidates kept for 2-ply expansion
     reply_max_moves: int = 512  # cap on opponent reply list width
@@ -87,6 +92,7 @@ _register(
             t_horizon=512,
             num_minibatches=1,
             use_gae=False,
+            reward_perspective="absolute",  # reference Q5 credit
             normalize_returns=True,
             max_grad_norm=0.0,
             reset_each_update=True,  # reference train.py:40

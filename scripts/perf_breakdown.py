@@ -85,7 +85,7 @@ def main():
 
             @jax.jit
             def roll_only(params, es, k):
-                _, traj, _ = learner.rollout(
+                _, traj, _, _ = learner.rollout(
                     params, es, k, env_cfg, model_cfg, ppo_cfg
                 )
                 return traj.reward.sum()

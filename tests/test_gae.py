@@ -79,3 +79,54 @@ def test_columns_independent():
     np.testing.assert_allclose(
         np.asarray(adv_all[:, 1]), np.asarray(adv_col[:, 0]), atol=1e-6
     )
+
+
+def test_negamax_gae_hand_case():
+    """Mover-perspective GAE vs a hand-computed alternating 3-step game:
+    mover A, B, A; A wins at t=2 (+1).  B's move at t=1 must receive
+    NEGATIVE credit for allowing the win; A's t=0 move positive."""
+    from mlp_ppo_2ply_p3_tpu.ppo.gae import negamax_gae
+
+    gamma, lam = 0.9, 0.8
+    r = np.array([[0.0], [0.0], [1.0]], np.float32)
+    v = np.array([[0.1], [-0.2], [0.3]], np.float32)
+    done = np.array([[False], [False], [True]])
+    flips = np.array([[True], [True], [True]])   # alternating movers
+    last_v = np.array([0.7], np.float32)
+
+    adv, ret = negamax_gae(
+        jnp.asarray(r), jnp.asarray(v), jnp.asarray(done),
+        jnp.asarray(flips), jnp.asarray(last_v), gamma, lam,
+    )
+    # hand computation (reverse):
+    d2 = 1.0 - 0.3                      # done: no bootstrap
+    a2 = d2
+    d1 = 0.0 + gamma * (-0.3) - (-0.2)  # opponent's value negated
+    a1 = d1 + gamma * lam * (-1.0) * a2
+    d0 = 0.0 + gamma * (-(-0.2)) - 0.1
+    a0 = d0 + gamma * lam * (-1.0) * a1
+    np.testing.assert_allclose(
+        np.asarray(adv)[:, 0], [a0, a1, a2], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ret), np.asarray(adv) + v, rtol=1e-6)
+    assert a2 > 0 and a1 < 0, (a1, a2)  # loser's enabling move punished
+
+
+def test_negamax_gae_no_flip_on_retry():
+    """Invalid-action retries keep the same mover: no sign flip."""
+    from mlp_ppo_2ply_p3_tpu.ppo.gae import gae, negamax_gae
+
+    t, b = 6, 4
+    rng = np.random.default_rng(0)
+    r = rng.normal(size=(t, b)).astype(np.float32)
+    v = rng.normal(size=(t, b)).astype(np.float32)
+    done = np.zeros((t, b), bool)
+    flips = np.zeros((t, b), bool)  # same mover throughout
+    last_v = rng.normal(size=(b,)).astype(np.float32)
+    a_neg, _ = negamax_gae(
+        jnp.asarray(r), jnp.asarray(v), jnp.asarray(done),
+        jnp.asarray(flips), jnp.asarray(last_v), 0.99, 0.95)
+    a_std, _ = gae(
+        jnp.asarray(r), jnp.asarray(v), jnp.asarray(done),
+        jnp.asarray(last_v), 0.99, 0.95)
+    np.testing.assert_allclose(np.asarray(a_neg), np.asarray(a_std), rtol=1e-5)
