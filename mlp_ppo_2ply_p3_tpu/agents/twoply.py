@@ -61,14 +61,7 @@ NEG_INF = -1e9
 POS_INF = 1e9
 
 
-def opponent_view(vec):
-    """Canonical-frame involution: re-canonicalize a board for the other
-    player (swap my/opp halves and reflect the point order)."""
-    my, opp = vec[..., 0:24], vec[..., 24:48]
-    tail = jnp.stack(
-        [vec[..., 49], vec[..., 48], vec[..., 51], vec[..., 50]], axis=-1
-    )
-    return jnp.concatenate([opp[..., ::-1], my[..., ::-1], tail], axis=-1)
+from ..core.board import opponent_view  # canonical-frame involution
 
 
 def _reply_cfg(scfg: SearchConfig) -> MG.MovegenConfig:
@@ -99,8 +92,11 @@ def twoply_actions_report(params, state: bg_env.EnvState,
     mask = bg_env.action_mask(state)  # (B, M)
 
     # ---- 1-ply scores and top-k pruning -----------------------------------
-    feats1 = bg_env.afterstate_features(state)          # (B, M, 198)
-    v1 = mlp.value(params, feats1, mcfg)                # (B, M)
+    # mover-perspective afterstate values (-V of the opponent's view —
+    # the value head is trained on player-to-move states, agents.basic)
+    from .basic import afterstate_values
+
+    v1 = afterstate_values(params, state, mcfg)         # (B, M)
     v1 = jnp.where(mask, v1, NEG_INF)
     top_v, top_idx = jax.lax.top_k(v1, k)               # (B, k)
     top_valid = top_v > NEG_INF / 2

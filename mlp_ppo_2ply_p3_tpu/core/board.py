@@ -73,6 +73,16 @@ def from_canonical(vec, player):
     return points, bar_, off_
 
 
+def opponent_view(vec):
+    """Canonical-frame involution: re-canonicalize a board for the other
+    player (swap my/opp halves and reflect the point order)."""
+    my, opp = vec[..., 0:24], vec[..., 24:48]
+    tail = jnp.stack(
+        [vec[..., 49], vec[..., 48], vec[..., 51], vec[..., 50]], axis=-1
+    )
+    return jnp.concatenate([opp[..., ::-1], my[..., ::-1], tail], axis=-1)
+
+
 def submoves_one_die(vec, die):
     """All candidate submoves for one die from a canonical board.
 

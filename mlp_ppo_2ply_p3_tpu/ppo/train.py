@@ -163,7 +163,8 @@ def train(cfg, resume: bool = True, updates: int | None = None,
         metrics["update_time_s"] = dt
         _handle_overflow(cfg, update, metrics, overflow_warned)
         last_metrics = metrics
-        if cfg.eval_every and (update + 1) % cfg.eval_every == 0:
+        ran_eval = cfg.eval_every and (update + 1) % cfg.eval_every == 0
+        if ran_eval:
             k_eval = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7), update)
             with profiling.section("league_eval", sync=profile):
                 ev = league_eval(cfg, ts.params, k_eval)
@@ -172,7 +173,8 @@ def train(cfg, resume: bool = True, updates: int | None = None,
                 f"  league: win_rate={ev['league/win_rate_vs_baseline']:.3f} "
                 f"({ev['league/finished']} games)"
             )
-        if update % cfg.log_every == 0:
+        # eval updates are always persisted, whatever the log cadence
+        if ran_eval or update % cfg.log_every == 0:
             writer.write(update, metrics)
             print(
                 f"update {update}: loss={metrics['loss']:.4f} "

@@ -37,9 +37,23 @@ def state_from_oracle(ob, turn, dice):
     )
 
 
+def np_afterstate_values(params, state, turn, n):
+    """Numpy re-derivation of agents.basic.afterstate_values: the mover's
+    value of an afterstate is -V(opponent's view) — the opponent moves
+    next (negamax convention)."""
+    from .test_movegen import canonical_to_abs_np
+
+    vals = np.zeros(n, np.float32)
+    for j in range(n):
+        after_abs = canonical_to_abs_np(np.asarray(state.after[0, j]), turn)
+        feats = ref_features_np(after_abs, 1 - turn)[None]
+        vals[j] = -np_forward_value(params, feats)[0]
+    return vals
+
+
 def test_greedy_1ply_matches_numpy_argmax():
-    """Greedy agent must pick the afterstate the (numpy-replicated) value
-    net ranks highest."""
+    """Greedy agent must pick the afterstate the (numpy-replicated)
+    mover-perspective value ranks highest."""
     rng = np.random.default_rng(3)
     params = mlp.init_params(jax.random.PRNGKey(0), MODEL_CFG)
     for trial in range(20):
@@ -51,9 +65,7 @@ def test_greedy_1ply_matches_numpy_argmax():
         if n == 0:
             continue
         action = int(basic.greedy_1ply(params, state, MODEL_CFG)[0])
-        # numpy re-derivation over the SAME afterstate list
-        feats = np.asarray(bg_env.afterstate_features(state))[0, :n]
-        vals = np_forward_value(params, feats)
+        vals = np_afterstate_values(params, state, turn, n)
         assert vals[action] >= vals.max() - 1e-4
 
 
@@ -116,8 +128,7 @@ def test_twoply_scores_match_bruteforce():
                 total += p * worst
             return total
 
-        feats = np.asarray(bg_env.afterstate_features(state))[0, :n]
-        v1 = np_forward_value(params, feats)
+        v1 = np_afterstate_values(params, state, turn, n)
         k = min(scfg.top_k, n)
         top_idx = np.argsort(-v1)[:k]
         scores = {
