@@ -90,18 +90,24 @@ def main():
     ts = learner.init_train_state(jax.random.PRNGKey(0), model_cfg, ppo_cfg)
     env_state = bg_env.reset(jax.random.PRNGKey(1), env_cfg, num_envs)
 
-    # warmup / compile
+    # warmup / compile.  Fences are scalar host readbacks
+    # (profiling._hard_sync): under the remote-PJRT tunnel
+    # block_until_ready can return before execution finishes
+    # (utils/profiling.py), so a device->host transfer is the only
+    # reliable completion barrier for the timed region.
+    from mlp_ppo_2ply_p3_tpu.utils.profiling import _hard_sync
+
     ts, env_state, metrics = learner.train_step(
         ts, env_state, env_cfg, model_cfg, ppo_cfg
     )
-    jax.block_until_ready(metrics)
+    _hard_sync(metrics)
 
     t0 = time.time()
     for _ in range(timed_updates):
         ts, env_state, metrics = learner.train_step(
             ts, env_state, env_cfg, model_cfg, ppo_cfg
         )
-    jax.block_until_ready(metrics)
+    _hard_sync(metrics)
     dt = time.time() - t0
 
     steps = num_envs * t_horizon * timed_updates

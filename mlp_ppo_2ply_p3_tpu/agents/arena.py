@@ -36,7 +36,9 @@ class ArenaResult(NamedTuple):
     finished: jax.Array      # () games that reached a result
     points_a: jax.Array      # () total match points (gammons count 2, bg 3)
     points_b: jax.Array      # ()
-    plies: jax.Array         # () total plies played
+    plies: jax.Array         # () total half-turns played up to each
+    #                             game's first completion (unfinished
+    #                             games contribute max_plies)
 
 
 def play(policy_a: Policy, params_a, policy_b: Policy, params_b, key,
@@ -49,26 +51,30 @@ def play(policy_a: Policy, params_a, policy_b: Policy, params_b, key,
     a_side = (jnp.arange(n_games) % 2).astype(jnp.int8)  # A plays this color
 
     def step_fn(carry, k):
-        state, done_latch, winner_side, game_score = carry
+        state, done_latch, winner_side, game_score, plies = carry
         k_a, k_b, k_env = jax.random.split(k, 3)
         act_a = policy_a(params_a, state, k_a)
         act_b = policy_b(params_b, state, k_b)
         actions = jnp.where(state.turn == a_side, act_a, act_b)
+        plies = plies + jnp.sum(jnp.logical_not(done_latch).astype(jnp.int32))
         state, info = bg_env.step(state, actions, k_env, env_cfg)
         won_now = (info.winner >= 0) & jnp.logical_not(done_latch)
         winner_side = jnp.where(won_now, info.winner, winner_side)
         game_score = jnp.where(won_now, info.game_score, game_score)
         done_latch = done_latch | (info.winner >= 0)
-        return (state, done_latch, winner_side, game_score), None
+        return (state, done_latch, winner_side, game_score, plies), None
 
     init = (
         state,
         jnp.zeros((n_games,), bool),
         jnp.full((n_games,), -1, jnp.int8),
         jnp.zeros((n_games,), jnp.int32),
+        jnp.zeros((), jnp.int32),
     )
     keys = jax.random.split(k_run, max_plies)
-    (state, done, winner_side, game_score), _ = jax.lax.scan(step_fn, init, keys)
+    (state, done, winner_side, game_score, plies), _ = jax.lax.scan(
+        step_fn, init, keys
+    )
 
     a_won = done & (winner_side == a_side)
     b_won = done & (winner_side == (1 - a_side))
@@ -78,7 +84,7 @@ def play(policy_a: Policy, params_a, policy_b: Policy, params_b, key,
         finished=jnp.sum(done.astype(jnp.int32)),
         points_a=jnp.sum(jnp.where(a_won, game_score, 0)),
         points_b=jnp.sum(jnp.where(b_won, game_score, 0)),
-        plies=jnp.asarray(max_plies * n_games, jnp.int32),
+        plies=plies,
     )
 
 

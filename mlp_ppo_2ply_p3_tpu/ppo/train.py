@@ -65,21 +65,61 @@ def _league_weights():
     return pubeval.default_weights()
 
 
-def league_eval(cfg, params, key):
-    """Honest quality metric (fixes SURVEY.md Q8): win rate of the
-    current policy (argmax mode) vs the fixed linear baseline, fully
-    jitted (one compilation per config; weights built once)."""
-    pol, base = _league_policies(cfg.model, cfg.ppo.policy_mode)
-    res = arena.play_jit(
-        pol, params, base, _league_weights(), key, cfg.env, cfg.eval_games,
-        400,
-    )
+@functools.lru_cache(maxsize=None)
+def _frozen_opponent(frozen_model_cfg):
+    """Stable-identity greedy-1-ply policy closure for a frozen net."""
+    def pol(params, state, key):
+        return basic.greedy_1ply(params, state, frozen_model_cfg)
+
+    return pol
+
+
+@functools.lru_cache(maxsize=1)
+def _frozen_asset():
+    from ..agents import frozen
+
+    return frozen.load_frozen()
+
+
+def _arena_stats(res, n_games: int, tag: str) -> dict:
+    finished = max(1, int(res.finished))
     return {
-        "league/win_rate_vs_baseline": arena.win_rate(res),
-        "league/finished": int(res.finished),
-        "league/points_per_game": float(res.points_a)
-        / max(1, int(res.finished)),
+        f"league/win_rate_vs_{tag}": arena.win_rate(res),
+        f"league/finished_vs_{tag}": int(res.finished),
+        f"league/points_a_vs_{tag}": int(res.points_a),
+        f"league/points_b_vs_{tag}": int(res.points_b),
+        # signed points margin per finished game (gammons 2, bg 3)
+        f"league/point_margin_vs_{tag}": (
+            float(res.points_a) - float(res.points_b)
+        ) / finished,
+        f"league/avg_plies_vs_{tag}": float(res.plies) / max(1, n_games),
     }
+
+
+def league_eval(cfg, params, key):
+    """Honest quality metrics (fixes SURVEY.md Q8): win rate of the
+    current policy (argmax mode) vs the fixed opponents — the linear
+    heuristic over the exact pubeval encoding, and (when the committed
+    asset exists) the frozen benchmark net ``frozen_v1`` — fully jitted
+    (one compilation per config; opponents built once)."""
+    pol, base = _league_policies(cfg.model, cfg.ppo.policy_mode)
+    k_heur, k_frozen = jax.random.split(key)
+    res = arena.play_jit(
+        pol, params, base, _league_weights(), k_heur, cfg.env,
+        cfg.eval_games, 400,
+    )
+    out = _arena_stats(res, cfg.eval_games, "heuristic")
+    # back-compat alias for round-3 curves/plots
+    out["league/win_rate_vs_baseline"] = out["league/win_rate_vs_heuristic"]
+    frozen_asset = _frozen_asset()
+    if frozen_asset is not None:
+        f_params, f_cfg = frozen_asset
+        fres = arena.play_jit(
+            pol, params, _frozen_opponent(f_cfg), f_params, k_frozen,
+            cfg.env, cfg.eval_games, 400,
+        )
+        out.update(_arena_stats(fres, cfg.eval_games, "frozen_v1"))
+    return out
 
 
 def _make_placer(cfg):
@@ -102,10 +142,11 @@ def _handle_overflow(cfg, update: int, metrics: dict, warned: list):
     n_over = int(metrics.get("movegen_overflow", 0))
     if n_over == 0 or cfg.overflow_policy == "none":
         return
+    total = cfg.ppo.num_envs * cfg.ppo.t_horizon
     msg = (
-        f"movegen width-cap saturation in update {update}: {n_over} "
-        f"game-states truncated (affected doubles games degrade toward "
-        f"forced pass). Widen MovegenConfig caps or lower num_envs."
+        f"movegen width-cap saturation in update {update}: {n_over} of "
+        f"{total} rollout game-steps truncated (affected games degrade "
+        f"toward forced pass). Widen MovegenConfig caps or lower num_envs."
     )
     if cfg.overflow_policy == "abort":
         raise RuntimeError(msg)
@@ -169,9 +210,16 @@ def train(cfg, resume: bool = True, updates: int | None = None,
             with profiling.section("league_eval", sync=profile):
                 ev = league_eval(cfg, ts.params, k_eval)
             metrics.update(ev)
+            frozen_part = (
+                f" vs_frozen_v1={ev['league/win_rate_vs_frozen_v1']:.3f}"
+                if "league/win_rate_vs_frozen_v1" in ev
+                else ""
+            )
             print(
-                f"  league: win_rate={ev['league/win_rate_vs_baseline']:.3f} "
-                f"({ev['league/finished']} games)"
+                f"  league: vs_heuristic="
+                f"{ev['league/win_rate_vs_heuristic']:.3f}"
+                f"{frozen_part} "
+                f"({ev['league/finished_vs_heuristic']} games)"
             )
         # eval updates are always persisted, whatever the log cadence
         if ran_eval or update % cfg.log_every == 0:

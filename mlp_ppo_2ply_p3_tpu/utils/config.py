@@ -146,9 +146,13 @@ _register(
     RunConfig(
         # TD-Gammon-style afterstate policy at scale (the learning-run
         # preset, see LEARNING.md); fast() validated movegen widths.
+        # M=256 (round 4; was 128): the round-3 committed run truncated
+        # ~0.9% of sampled game-states at M=128 (doubles final max is
+        # 459, far above 128); the measured per-rollout truncation rate
+        # at 256 is in docs/LEARNING.md.
         name="afterstate4096",
-        env=EnvConfig(movegen=MovegenConfig.fast(128)),
-        model=ModelConfig(action_size=128),
+        env=EnvConfig(movegen=MovegenConfig.fast(256)),
+        model=ModelConfig(action_size=256),
         ppo=PPOConfig(
             num_envs=4096,
             t_horizon=64,

@@ -20,7 +20,8 @@ def main():
         checkpoint_dir="checkpoints",
         checkpoint_every=50,
         eval_every=20,
-        eval_games=256,
+        eval_games=1024,  # +/-1.5% at 1 sigma (256 gave +/-3%: the
+        #                   round-3 curve's wiggles were mostly noise)
         log_every=5,
         num_updates=updates,
     )
