@@ -35,6 +35,7 @@ def _rolls_table():
 
 
 _R, _P = _rolls_table()
+ROLLS_21_NP, ROLL_PROBS_21_NP = _R, _P  # host copies (static index math)
 ROLLS_21 = jnp.asarray(_R)        # (21, 2) unique sorted rolls
 ROLL_PROBS_21 = jnp.asarray(_P)   # (21,)
 

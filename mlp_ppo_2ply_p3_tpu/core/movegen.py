@@ -91,6 +91,16 @@ class MovegenConfig:
     # TPU only — CPU/tests run the kernel in interpreter mode; the jnp
     # path stays the portable reference.
     use_pallas: bool = False
+    # dedup=False skips the non-doubles first-occurrence board dedup and
+    # compacts the raw candidate block straight into the M-wide output
+    # (duplicate afterstates remain).  Only valid for consumers that are
+    # insensitive to duplicates — the 2-ply reply evaluation's min over
+    # reply values (agents.twoply) — never for the env's action list.
+    # Bonus: with M >= 482 (the theoretical raw non-doubles maximum:
+    # 2 orders x (15 origins x 16 one-die continuations + 1 single)) the
+    # non-doubles path becomes provably overflow-free, a stronger
+    # guarantee than the deduped path's measured-maximum sizing.
+    dedup: bool = True
 
     @classmethod
     def parity(cls, max_moves: int = 500) -> "MovegenConfig":
@@ -327,6 +337,12 @@ def _nondoubles_batch(vecs, d_hi, d_lo, cfg: MovegenConfig, mirror):
     cand, keep0 = jax.vmap(
         lambda v, h, l, mi: _nondoubles_candidates(v, h, l, cfg, mi)
     )(vecs, d_hi, d_lo, mirror)
+    if not cfg.dedup:
+        # duplicate-insensitive consumers (2-ply reply min): compact the
+        # raw block straight into the output — no dedup_width bottleneck
+        (out,), n = _compact_batch((cand,), keep0, cfg.max_moves,
+                                   cfg.use_pallas)
+        return out, jnp.minimum(n, cfg.max_moves), n > cfg.max_moves
     kd = cfg.dedup_width
     (cb,), n_raw = _compact_batch((cand,), keep0, kd, cfg.use_pallas)
     kv = jnp.arange(kd)[None, :] < jnp.minimum(n_raw, kd)[:, None]
@@ -582,6 +598,41 @@ def legal_afterstates_batch(
     game_over = vecs[:, B.MY_OFF].astype(jnp.int32) >= NUM_CHECKERS
     n = jnp.where(game_over, 0, n)
     return out, n, of
+
+
+def nondoubles_afterstates_batch(
+    vecs, d_hi, d_lo, cfg: MovegenConfig = MovegenConfig(), mirror=None
+):
+    """Non-doubles enumeration WITHOUT the doubles partition: every game
+    in ``vecs`` uses the (d_hi, d_lo) dice directly.  For callers whose
+    dice split is static — the 2-ply reply sweep evaluates each of the
+    15 non-doubles rolls as its own broadcast batch (agents.twoply), so
+    routing games into sub-batches (``legal_afterstates_batch``) would
+    be pure overhead.  Same output contract as the public entry,
+    including the game-over rule (reference move_logic.py:269-270)."""
+    bsz = vecs.shape[0]
+    if mirror is None:
+        mirror = jnp.zeros((bsz,), bool)
+    out, n, of = _nondoubles_batch(
+        vecs, d_hi.astype(jnp.int32), d_lo.astype(jnp.int32), cfg, mirror
+    )
+    game_over = vecs[:, B.MY_OFF].astype(jnp.int32) >= NUM_CHECKERS
+    return out, jnp.where(game_over, 0, n), of
+
+
+def doubles_afterstates_batch(
+    vecs, die, cfg: MovegenConfig = MovegenConfig(), mirror=None
+):
+    """Doubles enumeration without the partition (see
+    ``nondoubles_afterstates_batch``): every game uses ``die`` 4x."""
+    bsz = vecs.shape[0]
+    if mirror is None:
+        mirror = jnp.zeros((bsz,), bool)
+    out, n, of = _doubles_dispatch_batch(
+        vecs, die.astype(jnp.int32), cfg, mirror
+    )
+    game_over = vecs[:, B.MY_OFF].astype(jnp.int32) >= NUM_CHECKERS
+    return out, jnp.where(game_over, 0, n), of
 
 
 @partial(jax.jit, static_argnames=("cfg",))

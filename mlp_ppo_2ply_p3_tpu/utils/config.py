@@ -40,6 +40,18 @@ class SearchConfig:
 
     top_k: int = 8              # 1-ply candidates kept for 2-ply expansion
     reply_max_moves: int = 512  # cap on opponent reply list width
+    # Memory chunking (lets B=4096 x top_k x 21 rolls fit one chip's HBM
+    # instead of materializing an ~18 GB reply buffer): the flattened
+    # (B*top_k) candidate axis is processed in lax.map chunks of
+    # ``game_chunk`` games for the 15 non-doubles rolls and
+    # ``dbl_game_chunk`` for the 6 doubles rolls (whose depth-4
+    # expansion peaks at ~3.5 MB/game inside the level-4 compaction);
+    # reply VALUE evaluation walks the reply axis in
+    # ``eval_slot_chunk``-wide feature blocks.  Peak reply memory is
+    # O(game_chunk * width) per leg, independent of B.
+    game_chunk: int = 2048
+    dbl_game_chunk: int = 512
+    eval_slot_chunk: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

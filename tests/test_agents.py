@@ -235,12 +235,17 @@ def test_twoply_preset_registered_and_caps_cover_maxima():
     assert rcfg.max_moves >= 459 + 32   # measured doubles final max 459
     assert rcfg.k3 >= 161 + 32          # measured L3 max 161
     assert rcfg.k2 >= 44 + 16           # measured L2 max 44
-    assert rcfg.dedup_width >= 251 + 16 # measured non-doubles raw max 251
-    # reply batches are exactly 6/21 doubles; capacity must cover it
-    for n in (512, 2048, 16384, 131072):
-        from mlp_ppo_2ply_p3_tpu.core.movegen import doubles_capacity
+    # the no-dedup reply path compacts raw non-doubles candidates
+    # straight into the output; M' >= 482 (theoretical raw maximum)
+    # makes non-doubles replies PROVABLY overflow-free
+    assert rcfg.dedup is False and rcfg.max_moves >= 482
+    # the static chance split must cover all 21 rolls exactly once
+    from mlp_ppo_2ply_p3_tpu.agents.twoply import _DBL_IDX, _ND_IDX
 
-        assert doubles_capacity(n, rcfg) >= int(np.ceil(n * 6 / 21))
+    assert sorted(_DBL_IDX + _ND_IDX) == list(range(21))
+    rolls = np.asarray(D.ROLLS_21)
+    assert all(rolls[i, 0] == rolls[i, 1] for i in _DBL_IDX)
+    assert all(rolls[i, 0] != rolls[i, 1] for i in _ND_IDX)
 
 
 def _playout_states(n_states: int, seed: int = 0):
