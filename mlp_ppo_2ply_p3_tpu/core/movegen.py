@@ -89,8 +89,13 @@ class MovegenConfig:
     # (k_out, N) one-hot selector in VMEM instead of materializing it in
     # HBM (XLA does not fuse elementwise producers into dot operands).
     # TPU only — CPU/tests run the kernel in interpreter mode; the jnp
-    # path stays the portable reference.
+    # path stays the portable reference.  pallas_kernel selects the
+    # formulation: "onehot" = global one-hot built in VMEM (round-3
+    # study: ~neutral vs XLA), "segmented" = per-128-wide-segment local
+    # int8 one-hots + dynamic-offset VMEM merge (SEG_W/k_out of the
+    # compare work at twice the lanes; see ops.compaction).
     use_pallas: bool = False
+    pallas_kernel: str = "segmented"
     # dedup=False skips the non-doubles first-occurrence board dedup and
     # compacts the raw candidate block straight into the M-wide output
     # (duplicate afterstates remain).  Only valid for consumers that are
@@ -210,13 +215,19 @@ def _compact(payloads, valid, k_out):
     return tuple(outs), n
 
 
-def _compact_batch(payloads, valid, k_out: int, use_pallas: bool):
-    """Batch-level stable compaction over (B, N[, C]) payloads: either
-    the fused Pallas kernel (ops.compaction, one-hot built in VMEM) or a
-    vmap of the jnp ``_compact`` reference formulation.  Returns
-    (payloads_out, n (B,))."""
+def _compact_batch(payloads, valid, k_out: int, use_pallas):
+    """Batch-level stable compaction over (B, N[, C]) payloads: either a
+    fused Pallas kernel (ops.compaction; ``use_pallas`` truthy = the
+    MovegenConfig.pallas_kernel name) or a vmap of the jnp ``_compact``
+    reference formulation.  Returns (payloads_out, n (B,))."""
     if use_pallas:
-        from ..ops.compaction import compact_rows
+        from ..ops import compaction
+
+        name = use_pallas if isinstance(use_pallas, str) else "onehot"
+        kernel = {
+            "onehot": compaction.compact_rows,
+            "segmented": compaction.compact_rows_segmented,
+        }[name]
 
         cols, widths = [], []
         for p in payloads:
@@ -224,7 +235,7 @@ def _compact_batch(payloads, valid, k_out: int, use_pallas: bool):
             widths.append(m.shape[2])
             cols.append(m.astype(jnp.int8))
         cat = jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
-        out, n = compact_rows(cat, valid, k_out)
+        out, n = kernel(cat, valid, k_out)
         outs, off = [], 0
         for p, w in zip(payloads, widths):
             sel = out[:, :, off:off + w]
@@ -341,13 +352,13 @@ def _nondoubles_batch(vecs, d_hi, d_lo, cfg: MovegenConfig, mirror):
         # duplicate-insensitive consumers (2-ply reply min): compact the
         # raw block straight into the output — no dedup_width bottleneck
         (out,), n = _compact_batch((cand,), keep0, cfg.max_moves,
-                                   cfg.use_pallas)
+                                   cfg.use_pallas and cfg.pallas_kernel)
         return out, jnp.minimum(n, cfg.max_moves), n > cfg.max_moves
     kd = cfg.dedup_width
-    (cb,), n_raw = _compact_batch((cand,), keep0, kd, cfg.use_pallas)
+    (cb,), n_raw = _compact_batch((cand,), keep0, kd, cfg.use_pallas and cfg.pallas_kernel)
     kv = jnp.arange(kd)[None, :] < jnp.minimum(n_raw, kd)[:, None]
     keep = jax.vmap(_dedup_pairwise)(cb, kv)
-    (out,), n = _compact_batch((cb,), keep, cfg.max_moves, cfg.use_pallas)
+    (out,), n = _compact_batch((cb,), keep, cfg.max_moves, cfg.use_pallas and cfg.pallas_kernel)
     overflow = (n_raw > kd) | (n > cfg.max_moves)
     return out, jnp.minimum(n, cfg.max_moves), overflow
 
@@ -376,7 +387,7 @@ def _doubles_batch(vecs, die, cfg: MovegenConfig, mirror):
     is therefore a plain stable compaction (batch-level, Pallas-fusable)
     of the valid expansions."""
     m = cfg.max_moves
-    up = cfg.use_pallas
+    up = cfg.use_pallas and cfg.pallas_kernel
 
     def first(vec, d, mi):
         v1, o1, d1, h1 = (

@@ -74,6 +74,107 @@ def _tile_n(n: int) -> int:
     return -(-(-(-n // tiles)) // 128) * 128
 
 
+SEG_W = 128  # segment width = TPU lane dim
+
+
+def _seg_kernel(k_out: int, s_total: int, games: int,
+                off_ref, lpos_ref, pay_ref, out_ref, acc_ref):
+    """Segmented stable compaction: the (k_out, N) one-hot never exists.
+    The candidate axis is cut into SEG_W-wide segments; each segment
+    builds a LOCAL (SEG_W, SEG_W) int8 one-hot against its local 0-based
+    positions (always < SEG_W, so int8 compares — 2x the lanes of the
+    int16 global compare, and SEG_W/k_out of the compare count), matmuls
+    it with the segment payload on the MXU, and accumulates the result
+    slab into the output at the segment's global offset (a VMEM
+    dynamic-offset add; slabs overlap only where one side is zero, since
+    a segment's rows beyond its valid count have no matching one-hot
+    column)."""
+    from jax.experimental import pallas as pl
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)  # scratch persists across grid
+
+    for s in range(s_total):
+        lp = lpos_ref[:, s * SEG_W:(s + 1) * SEG_W]          # (G, W) int8
+        targets = jax.lax.broadcasted_iota(
+            jnp.int32, (games, SEG_W, SEG_W), 1
+        ).astype(jnp.int8)
+        onehot = (lp[:, None, :] == targets).astype(jnp.int8)  # (G, W, W)
+        seg = jax.lax.dot_general(
+            onehot,
+            pay_ref[:, s * SEG_W:(s + 1) * SEG_W, :],
+            (((2,), (1,)), ((0,), (0,))),   # batched (G,W,W) @ (G,W,C)
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.int8)
+        for g in range(games):
+            acc_ref[g, pl.ds(off_ref[g, s], SEG_W), :] += seg[g]
+
+    out_ref[:] = acc_ref[:, :k_out, :]
+
+
+@functools.partial(jax.jit, static_argnames=("k_out", "interpret"))
+def compact_rows_segmented(payload, valid, k_out: int,
+                           interpret: bool | None = None):
+    """Batched stable compaction via per-segment local one-hots (see
+    ``_seg_kernel``).  Same contract as ``compact_rows``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    b, n, c = payload.shape
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+    count = pos[:, -1]
+
+    g = GAMES_PER_PROGRAM
+    pad_b = (-b) % g
+    pad_n = (-n) % SEG_W
+    if pad_n:
+        pos = jnp.pad(pos, ((0, 0), (0, pad_n)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_n)))
+        payload = jnp.pad(payload, ((0, 0), (0, pad_n), (0, 0)))
+    n_p = n + pad_n
+    s_total = n_p // SEG_W
+
+    # exclusive running count at each segment start; local 0-based
+    # positions within the segment (-1 for invalid rows: matches nothing)
+    seg_of = jnp.arange(n_p) // SEG_W                        # (Np,)
+    off = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32),
+         pos[:, SEG_W - 1:n_p - 1:SEG_W]], axis=1
+    )  # (B, S) exclusive offsets: count strictly before each segment
+    lpos = jnp.where(valid, pos - 1 - off[:, seg_of], -1).astype(jnp.int8)
+    # a segment whose offset exceeds k_out holds only rows that the
+    # k_out cap truncates anyway; clamping keeps its (overlap-added,
+    # discarded) slab inside the (k_out + SEG_W)-row scratch
+    off = jnp.minimum(off, k_out)
+
+    if pad_b:
+        lpos = jnp.pad(lpos, ((0, pad_b), (0, 0)), constant_values=-1)
+        payload = jnp.pad(payload, ((0, pad_b), (0, 0), (0, 0)))
+        off = jnp.pad(off, ((0, pad_b), (0, 0)))
+    bp = b + pad_b
+
+    out = pl.pallas_call(
+        functools.partial(_seg_kernel, k_out, s_total, g),
+        grid=(bp // g,),
+        in_specs=[
+            pl.BlockSpec((g, s_total), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, n_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, k_out, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, k_out, c), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((g, k_out + SEG_W, c), jnp.int8)],
+        interpret=interpret,
+    )(off, lpos, payload)
+    return out[:b], count
+
+
 @functools.partial(jax.jit, static_argnames=("k_out", "interpret"))
 def compact_rows(payload, valid, k_out: int, interpret: bool | None = None):
     """Batched stable compaction: move valid rows to the front.

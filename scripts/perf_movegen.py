@@ -113,6 +113,35 @@ def main():
             lambda f, v, d: jax.vmap(MG._expand_one_die)(f, v, d), f3, f3v, die
         ) * 1e3
 
+    if want("kernels"):
+        # jnp one-hot vs Pallas global-one-hot vs Pallas segmented on the
+        # three compaction shapes that dominate movegen (docs/PERF.md)
+        from mlp_ppo_2ply_p3_tpu.ops import compaction as OC
+
+        fast = MG.MovegenConfig.fast()
+        shapes = {
+            "ndblock": (bsz, 2 * (cfg.k1 * 25 + cfg.k1), fast.dedup_width, 0.15),
+            "ndfinal": (bsz, fast.dedup_width, cfg.max_moves, 0.2),
+            "dblL3": (bd, fast.k2 * 27, fast.k3, 0.1),
+            "dblL4": (bd, fast.k3 * 27, cfg.max_moves, 0.05),
+        }
+        for name, (b_, n_, k_, dens) in shapes.items():
+            pay = jax.random.randint(key, (b_, n_, 52), 0, 15, jnp.int8)
+            va = jax.random.bernoulli(key, dens, (b_, n_))
+            res[f"{name}_jnp_ms"] = timed_scan(
+                lambda c, v, kk=k_: jax.vmap(
+                    lambda a, b2: MG._compact((a,), b2, kk)
+                )(c, v),
+                pay, va,
+            ) * 1e3
+            res[f"{name}_onehot_ms"] = timed_scan(
+                lambda c, v, kk=k_: OC.compact_rows(c, v, kk), pay, va
+            ) * 1e3
+            res[f"{name}_seg_ms"] = timed_scan(
+                lambda c, v, kk=k_: OC.compact_rows_segmented(c, v, kk),
+                pay, va,
+            ) * 1e3
+
     for k, v in res.items():
         if k != "B":
             res[k] = round(v, 2)

@@ -118,7 +118,10 @@ def test_pallas_compaction_path_matches_jnp():
 
     rng = np.random.default_rng(21)
     cfg_ref = movegen.MovegenConfig(max_moves=128)
-    cfg_pl = dataclasses.replace(cfg_ref, use_pallas=True)
+    cfg_pls = [
+        dataclasses.replace(cfg_ref, use_pallas=True, pallas_kernel=k)
+        for k in ("onehot", "segmented")
+    ]
 
     boards, turns = [], []
     for stage in ("any", "bearoff", "bar"):
@@ -133,7 +136,10 @@ def test_pallas_compaction_path_matches_jnp():
     for dice in [(3, 3), (6, 6), (1, 1), (6, 5), (2, 1), (4, 2)]:
         dc = jnp.asarray(np.tile(np.asarray(dice, np.int8), (len(boards), 1)))
         out_a, n_a, of_a = movegen.legal_afterstates_batch(vecs, dc, cfg_ref)
-        out_b, n_b, of_b = movegen.legal_afterstates_batch(vecs, dc, cfg_pl)
-        np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
-        np.testing.assert_array_equal(np.asarray(of_a), np.asarray(of_b))
-        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+        for cfg_pl in cfg_pls:
+            out_b, n_b, of_b = movegen.legal_afterstates_batch(
+                vecs, dc, cfg_pl
+            )
+            np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
+            np.testing.assert_array_equal(np.asarray(of_a), np.asarray(of_b))
+            np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
