@@ -87,8 +87,15 @@ def run_pair(cfg, pair: str, games: int, max_plies: int, seed: int,
     par_b = params if par_b == "params" else par_b
 
     t0 = time.time()
-    res = arena.play(pol_a, par_a, pol_b, par_b, jax.random.PRNGKey(seed),
-                     cfg.env, games, max_plies)
+    # heavyweight search agents run the ply loop on the host: scanning
+    # the full 2-ply program max_plies deep crashes the TPU worker
+    # (arena.play_hostloop)
+    runner = (
+        arena.play_hostloop
+        if "twoply" in (name_a, name_b) else arena.play
+    )
+    res = runner(pol_a, par_a, pol_b, par_b, jax.random.PRNGKey(seed),
+                 cfg.env, games, max_plies)
     jax.block_until_ready(res.wins_a)
     dt = time.time() - t0
     out = {
