@@ -104,11 +104,11 @@ def _seg_kernel(k_out: int, s_total: int, games: int,
             pay_ref[:, s * SEG_W:(s + 1) * SEG_W, :],
             (((2,), (1,)), ((0,), (0,))),   # batched (G,W,W) @ (G,W,C)
             preferred_element_type=jnp.int32,
-        ).astype(jnp.int8)
+        ).astype(jnp.int16)  # Mosaic vector adds support i16/i32, not i8
         for g in range(games):
             acc_ref[g, pl.ds(off_ref[g, s], SEG_W), :] += seg[g]
 
-    out_ref[:] = acc_ref[:, :k_out, :]
+    out_ref[:] = acc_ref[:, :k_out, :].astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("k_out", "interpret"))
@@ -169,7 +169,7 @@ def compact_rows_segmented(payload, valid, k_out: int,
         out_specs=pl.BlockSpec((g, k_out, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, k_out, c), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((g, k_out + SEG_W, c), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((g, k_out + SEG_W, c), jnp.int16)],
         interpret=interpret,
     )(off, lpos, payload)
     return out[:b], count
