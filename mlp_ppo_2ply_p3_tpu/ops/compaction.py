@@ -95,18 +95,30 @@ def _seg_kernel(k_out: int, s_total: int, games: int,
 
     for s in range(s_total):
         lp = lpos_ref[:, s * SEG_W:(s + 1) * SEG_W]          # (G, W) int8
-        targets = jax.lax.broadcasted_iota(
-            jnp.int32, (games, SEG_W, SEG_W), 1
+        # Mosaic requires dynamic sublane store offsets to be provably
+        # 8-aligned: store the slab at (off // 8) * 8 and fold the 0-7
+        # residue into the one-hot targets, growing the slab to W+8 rows
+        # (slab row r selects local position r - off%8).
+        mod = (off_ref[:, s] % 8).astype(jnp.int16)          # (G,) in 0..7
+        # shifted local position = lpos + off%8 in 0..134; computed in
+        # int16 (Mosaic lacks int8 vector adds) then wrapped to int8 —
+        # the int8 row-iota wraps the same way mod 256, so equality is
+        # exact; the invalid sentinel -100 maps to 156..163 mod 256,
+        # which no slab row (0..135) can match.
+        shifted = (lp.astype(jnp.int16) + mod[:, None]).astype(jnp.int8)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (games, SEG_W + 8, SEG_W), 1
         ).astype(jnp.int8)
-        onehot = (lp[:, None, :] == targets).astype(jnp.int8)  # (G, W, W)
+        onehot = (shifted[:, None, :] == rows).astype(jnp.int8)
         seg = jax.lax.dot_general(
             onehot,
             pay_ref[:, s * SEG_W:(s + 1) * SEG_W, :],
-            (((2,), (1,)), ((0,), (0,))),   # batched (G,W,W) @ (G,W,C)
+            (((2,), (1,)), ((0,), (0,))),   # (G,W+8,W) @ (G,W,C)
             preferred_element_type=jnp.int32,
         ).astype(jnp.int16)  # Mosaic vector adds support i16/i32, not i8
         for g in range(games):
-            acc_ref[g, pl.ds(off_ref[g, s], SEG_W), :] += seg[g]
+            base = pl.multiple_of((off_ref[g, s] // 8) * 8, 8)
+            acc_ref[g, pl.ds(base, SEG_W + 8), :] += seg[g]
 
     out_ref[:] = acc_ref[:, :k_out, :].astype(jnp.int8)
 
@@ -137,20 +149,21 @@ def compact_rows_segmented(payload, valid, k_out: int,
     s_total = n_p // SEG_W
 
     # exclusive running count at each segment start; local 0-based
-    # positions within the segment (-1 for invalid rows: matches nothing)
+    # positions within the segment (sentinel -100 for invalid rows: its
+    # mod-256 image is unreachable by any slab row — see _seg_kernel)
     seg_of = jnp.arange(n_p) // SEG_W                        # (Np,)
     off = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32),
          pos[:, SEG_W - 1:n_p - 1:SEG_W]], axis=1
     )  # (B, S) exclusive offsets: count strictly before each segment
-    lpos = jnp.where(valid, pos - 1 - off[:, seg_of], -1).astype(jnp.int8)
+    lpos = jnp.where(valid, pos - 1 - off[:, seg_of], -100).astype(jnp.int8)
     # a segment whose offset exceeds k_out holds only rows that the
     # k_out cap truncates anyway; clamping keeps its (overlap-added,
     # discarded) slab inside the (k_out + SEG_W)-row scratch
     off = jnp.minimum(off, k_out)
 
     if pad_b:
-        lpos = jnp.pad(lpos, ((0, pad_b), (0, 0)), constant_values=-1)
+        lpos = jnp.pad(lpos, ((0, pad_b), (0, 0)), constant_values=-100)
         payload = jnp.pad(payload, ((0, pad_b), (0, 0), (0, 0)))
         off = jnp.pad(off, ((0, pad_b), (0, 0)))
     bp = b + pad_b
@@ -169,7 +182,7 @@ def compact_rows_segmented(payload, valid, k_out: int,
         out_specs=pl.BlockSpec((g, k_out, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, k_out, c), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((g, k_out + SEG_W, c), jnp.int16)],
+        scratch_shapes=[pltpu.VMEM((g, k_out + SEG_W + 8, c), jnp.int16)],
         interpret=interpret,
     )(off, lpos, payload)
     return out[:b], count
