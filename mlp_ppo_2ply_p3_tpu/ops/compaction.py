@@ -78,38 +78,37 @@ SEG_W = 128  # segment width = TPU lane dim
 
 
 def _seg_kernel(k_out: int, s_total: int, games: int,
-                off_ref, lpos_ref, pay_ref, out_ref, acc_ref):
+                base_ref, lpos_ref, pay_ref, out_ref, acc_ref):
     """Segmented stable compaction: the (k_out, N) one-hot never exists.
     The candidate axis is cut into SEG_W-wide segments; each segment
-    builds a LOCAL (SEG_W, SEG_W) int8 one-hot against its local 0-based
-    positions (always < SEG_W, so int8 compares — 2x the lanes of the
-    int16 global compare, and SEG_W/k_out of the compare count), matmuls
-    it with the segment payload on the MXU, and accumulates the result
-    slab into the output at the segment's global offset (a VMEM
-    dynamic-offset add; slabs overlap only where one side is zero, since
-    a segment's rows beyond its valid count have no matching one-hot
-    column)."""
+    builds a LOCAL (SEG_W+8, SEG_W) int8 one-hot against its local
+    0-based positions (int32 compares — v5e Mosaic supports neither int8
+    nor int16 vector compares — but only ~(SEG_W+8)/k_out of the global
+    compare count),
+    matmuls it with the segment payload on the MXU, and accumulates the
+    result slab into the output at the segment's 8-aligned base offset
+    (a VMEM dynamic-offset add; slabs overlap only where one side is
+    zero, since a segment's rows beyond its valid count have no matching
+    one-hot column).
+
+    Mosaic constraints shape this kernel: dynamic sublane store offsets
+    must be provably 8-aligned (hence the base/residue split — the 0-7
+    residue is folded into ``lpos`` by the CALLER, growing the slab to
+    SEG_W+8 rows: slab row r selects shifted local position r), and SMEM
+    only supports SCALAR loads (hence ``base_ref[g, s]`` per game in an
+    unrolled loop; never ``base_ref[:, s]``)."""
     from jax.experimental import pallas as pl
 
     acc_ref[:] = jnp.zeros_like(acc_ref)  # scratch persists across grid
 
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (games, SEG_W + 8, SEG_W), 1
+    )  # int32: the only vector-compare dtype v5e Mosaic lowers
     for s in range(s_total):
-        lp = lpos_ref[:, s * SEG_W:(s + 1) * SEG_W]          # (G, W) int8
-        # Mosaic requires dynamic sublane store offsets to be provably
-        # 8-aligned: store the slab at (off // 8) * 8 and fold the 0-7
-        # residue into the one-hot targets, growing the slab to W+8 rows
-        # (slab row r selects local position r - off%8).
-        mod = (off_ref[:, s] % 8).astype(jnp.int16)          # (G,) in 0..7
-        # shifted local position = lpos + off%8 in 0..134; computed in
-        # int16 (Mosaic lacks int8 vector adds) then wrapped to int8 —
-        # the int8 row-iota wraps the same way mod 256, so equality is
-        # exact; the invalid sentinel -100 maps to 156..163 mod 256,
-        # which no slab row (0..135) can match.
-        shifted = (lp.astype(jnp.int16) + mod[:, None]).astype(jnp.int8)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (games, SEG_W + 8, SEG_W), 1
-        ).astype(jnp.int8)
-        onehot = (shifted[:, None, :] == rows).astype(jnp.int8)
+        # shifted local position = lpos + base-residue in 0..134, int32;
+        # the invalid sentinel -100 matches no slab row (0..135).
+        lp = lpos_ref[:, s * SEG_W:(s + 1) * SEG_W]          # (G, W) i32
+        onehot = (lp[:, None, :] == rows).astype(jnp.int8)
         seg = jax.lax.dot_general(
             onehot,
             pay_ref[:, s * SEG_W:(s + 1) * SEG_W, :],
@@ -117,7 +116,7 @@ def _seg_kernel(k_out: int, s_total: int, games: int,
             preferred_element_type=jnp.int32,
         ).astype(jnp.int16)  # Mosaic vector adds support i16/i32, not i8
         for g in range(games):
-            base = pl.multiple_of((off_ref[g, s] // 8) * 8, 8)
+            base = pl.multiple_of(base_ref[g, s], 8)
             acc_ref[g, pl.ds(base, SEG_W + 8), :] += seg[g]
 
     out_ref[:] = acc_ref[:, :k_out, :].astype(jnp.int8)
@@ -156,16 +155,23 @@ def compact_rows_segmented(payload, valid, k_out: int,
         [jnp.zeros((b, 1), jnp.int32),
          pos[:, SEG_W - 1:n_p - 1:SEG_W]], axis=1
     )  # (B, S) exclusive offsets: count strictly before each segment
-    lpos = jnp.where(valid, pos - 1 - off[:, seg_of], -100).astype(jnp.int8)
     # a segment whose offset exceeds k_out holds only rows that the
     # k_out cap truncates anyway; clamping keeps its (overlap-added,
-    # discarded) slab inside the (k_out + SEG_W)-row scratch
+    # discarded) slab inside the (k_out + SEG_W + 8)-row scratch
     off = jnp.minimum(off, k_out)
+    # Mosaic: dynamic sublane store offsets must be 8-aligned and SMEM
+    # loads must be scalar — split off into an aligned base (SMEM, read
+    # per (g, s) scalar in the kernel) and a 0-7 residue folded into the
+    # local positions here, in plain XLA (slab row r selects lpos+mod==r)
+    base = (off // 8) * 8
+    lpos = jnp.where(
+        valid, pos - 1 - base[:, seg_of], -100
+    )  # int32 = local pos + (off - base) residue, 0..134
 
     if pad_b:
         lpos = jnp.pad(lpos, ((0, pad_b), (0, 0)), constant_values=-100)
         payload = jnp.pad(payload, ((0, pad_b), (0, 0), (0, 0)))
-        off = jnp.pad(off, ((0, pad_b), (0, 0)))
+        base = jnp.pad(base, ((0, pad_b), (0, 0)))
     bp = b + pad_b
 
     out = pl.pallas_call(
@@ -184,7 +190,7 @@ def compact_rows_segmented(payload, valid, k_out: int,
         out_shape=jax.ShapeDtypeStruct((bp, k_out, c), jnp.int8),
         scratch_shapes=[pltpu.VMEM((g, k_out + SEG_W + 8, c), jnp.int16)],
         interpret=interpret,
-    )(off, lpos, payload)
+    )(base, lpos, payload)
     return out[:b], count
 
 
