@@ -99,11 +99,40 @@ def _on_signal(signum, frame):
     sys.exit(0 if _last_line else 1)
 
 
+_stage = ["startup"]
+
+
+def _watchdog(budget: float) -> None:
+    """Daemon thread: heartbeat to stderr while the main thread may be
+    stuck inside an uninterruptible PJRT call (the remote-TPU tunnel can
+    hang backend acquisition indefinitely — round-4's bench died with NO
+    output at all), and a hard exit once the budget is blown so the
+    artifact tail names the stage that hung instead of showing a bare
+    rc=124."""
+    import threading
+
+    def run():
+        while True:
+            time.sleep(30)
+            elapsed = time.time() - T_START
+            log(f"watchdog: stage={_stage[0]} elapsed={elapsed:.0f}s")
+            if budget > 0 and elapsed > budget:
+                log(f"watchdog: budget {budget:.0f}s exceeded during "
+                    f"stage '{_stage[0]}' — likely a hung TPU tunnel; "
+                    "exiting")
+                if _last_line:
+                    print(_last_line[0], flush=True)
+                os._exit(0 if _last_line else 1)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def main():
     import dataclasses
 
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
+    _watchdog(float(os.environ.get("BENCH_TIME_BUDGET", 480)))
 
     from mlp_ppo_2ply_p3_tpu.core.movegen import MovegenConfig
     from mlp_ppo_2ply_p3_tpu.env import bg_env
@@ -145,6 +174,7 @@ def main():
             normalize_returns=False,
         )
 
+    _stage[0] = "backend-acquisition"
     t0 = time.time()
     devices = jax.devices()
     log(f"backend acquired: {len(devices)} x {devices[0].platform} "
@@ -160,6 +190,7 @@ def main():
     # reliable completion barrier for the timed region.
     from mlp_ppo_2ply_p3_tpu.utils.profiling import _hard_sync
 
+    _stage[0] = "compile"
     log(f"compiling train_step (B={num_envs}, T={t_horizon}, "
         f"M={mg_cfg.max_moves}) ...")
     t0 = time.time()
@@ -192,6 +223,7 @@ def main():
                 log(f"time budget {budget:.0f}s: stopping after {i} "
                     f"update(s) at +{elapsed:.1f}s")
                 break
+        _stage[0] = f"update-{i + 1}"
         t0 = time.time()
         ts, env_state, metrics = learner.train_step(
             ts, env_state, env_cfg, model_cfg, ppo_cfg

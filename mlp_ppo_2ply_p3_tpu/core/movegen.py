@@ -92,8 +92,11 @@ class MovegenConfig:
     # path stays the portable reference.  pallas_kernel selects the
     # formulation: "onehot" = global one-hot built in VMEM (round-3
     # study: ~neutral vs XLA), "segmented" = per-128-wide-segment local
-    # int8 one-hots + dynamic-offset VMEM merge (SEG_W/k_out of the
-    # compare work at twice the lanes; see ops.compaction).
+    # one-hots + dynamic-offset VMEM merge — int32 compares only (v5e
+    # Mosaic lowers no int8/int16 vector compares, so there is no
+    # lane-width win), ~(SEG_W+8)/k_out of the compare count, measured
+    # SLOWER than the jnp path on v5e (docs/PERF.md round 4); both
+    # kernels stay off by default.
     use_pallas: bool = False
     pallas_kernel: str = "segmented"
     # dedup=False skips the non-doubles first-occurrence board dedup and

@@ -148,8 +148,9 @@ def compact_rows_segmented(payload, valid, k_out: int,
     s_total = n_p // SEG_W
 
     # exclusive running count at each segment start; local 0-based
-    # positions within the segment (sentinel -100 for invalid rows: its
-    # mod-256 image is unreachable by any slab row — see _seg_kernel)
+    # positions within the segment (sentinel -100 for invalid rows:
+    # under int32 comparison it matches no slab row, which live in
+    # 0..k_out+SEG_W+7 — see _seg_kernel)
     seg_of = jnp.arange(n_p) // SEG_W                        # (Np,)
     off = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32),

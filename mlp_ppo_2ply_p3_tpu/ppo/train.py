@@ -155,9 +155,43 @@ def _handle_overflow(cfg, update: int, metrics: dict, warned: list):
         warned.append(True)
 
 
+def _pull_remote_latest(store, cfg, ckpt_dir):
+    """Download the newest remote checkpoint for this run into the local
+    checkpoint dir and return its local path (None if the store holds
+    none).  This is the preemption-recovery path the reference implements
+    as load_model_from_s3 at trainer startup
+    (/root/reference/src/agent/ppo_agent.py:441-470, used by
+    train_single.py:124): a worker restarted on a wiped disk resumes from
+    the store it has been uploading to."""
+    names = store.list(cfg.name)
+    steps = set()
+    for n in names:
+        head = n[len(cfg.name) + 1:].split("/", 1)[0]
+        stem = head[len("ckpt_"):] if head.startswith("ckpt_") else ""
+        stem = stem[:-4] if stem.endswith(".npz") else stem
+        try:
+            steps.add(int(stem))
+        except ValueError:
+            continue
+    if not steps:
+        return None
+    best = max(steps)
+    heads = {f"ckpt_{best}", f"ckpt_{best}.npz"}
+    for n in names:
+        if n[len(cfg.name) + 1:].split("/", 1)[0] in heads:
+            store.get(n, os.path.join(cfg.checkpoint_dir, n))
+    path = ckpt.latest(ckpt_dir)
+    if path:
+        print(f"pulled remote checkpoint {cfg.name}/ckpt_{best} from "
+              f"{cfg.remote_url}")
+    return path
+
+
 def train(cfg, resume: bool = True, updates: int | None = None,
           write_metrics: bool = True, profile: bool = False,
           shard: bool = True):
+    if cfg.debug_nans:  # SURVEY.md §5.2 debug toggle
+        jax.config.update("jax_debug_nans", True)
     num_updates = updates if updates is not None else cfg.num_updates
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_env = jax.random.split(key)
@@ -165,8 +199,11 @@ def train(cfg, resume: bool = True, updates: int | None = None,
     env_state = bg_env.reset(k_env, cfg.env, cfg.ppo.num_envs)
 
     ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
+    store = maybe_store(cfg.remote_url)
     if resume:
         path = ckpt.latest(ckpt_dir)
+        if path is None and store is not None:
+            path = _pull_remote_latest(store, cfg, ckpt_dir)
         if path:
             ts, env_state = ckpt.restore(path, (ts, env_state))
             print(f"resumed from {path} at update {int(ts.update_idx)}")
@@ -181,8 +218,11 @@ def train(cfg, resume: bool = True, updates: int | None = None,
         print(f"sharded: {cfg.ppo.num_envs} games over {mesh.devices.size} "
               f"devices (axis '{mesh.axis_names[0]}')")
 
-    writer = MetricsWriter(cfg.metrics_path if write_metrics else None)
-    store = maybe_store(cfg.remote_url)
+    metrics_path = cfg.metrics_path.format(name=cfg.name)
+    writer = MetricsWriter(
+        metrics_path if write_metrics else None,
+        tb_logdir=cfg.tb_logdir.format(name=cfg.name) or None,
+    )
     steps_per_update = cfg.ppo.num_envs * cfg.ppo.t_horizon
     last_metrics = {}
     t_start = time.time()
@@ -243,8 +283,8 @@ def train(cfg, resume: bool = True, updates: int | None = None,
     if profile:
         print("profile sections:\n" + profiling.report())
     writer.close()
-    if store is not None and write_metrics and os.path.exists(cfg.metrics_path):
-        store.put(cfg.metrics_path, f"{cfg.name}/metrics.jsonl")
+    if store is not None and write_metrics and os.path.exists(metrics_path):
+        store.put(metrics_path, f"{cfg.name}/metrics.jsonl")
     return ts, env_state, last_metrics, total
 
 

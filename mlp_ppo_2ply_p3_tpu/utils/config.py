@@ -65,7 +65,12 @@ class RunConfig:
     seed: int = 0
     checkpoint_every: int = 10    # updates (reference train.py:116)
     checkpoint_dir: str = "checkpoints"
-    metrics_path: str = "metrics.jsonl"
+    # "{name}" expands to cfg.name at train() startup, so different runs
+    # never append to the same stale JSONL stream by default
+    metrics_path: str = "metrics/{name}.jsonl"
+    # TensorBoard event stream beside the JSONL (the reference's primary
+    # observability channel, ppo_agent.py:317-348); "" disables
+    tb_logdir: str = ""
     log_every: int = 1
     eval_every: int = 25          # league eval cadence (0 disables)
     eval_games: int = 256         # arena games vs the fixed baseline
@@ -78,8 +83,15 @@ class RunConfig:
     # remote blob store for checkpoints + metrics (utils.remote:
     # file:// | s3:// | gs://; "" disables) — replaces the reference's
     # S3 upload path (ppo_agent.py:406-470); failures never crash
-    # training.
+    # training.  When set, a fresh worker with no local checkpoints also
+    # RESUMES from the newest remote checkpoint (the reference's
+    # load_model_from_s3 startup path, ppo_agent.py:441-470), which is
+    # what makes preemption recovery real on a wiped disk.
     remote_url: str = ""
+    # debug toggles (SURVEY.md §5.2): jax_debug_nans re-runs any jitted
+    # computation that produced a NaN in op-by-op mode and raises at the
+    # offending primitive — slow, for debugging only
+    debug_nans: bool = False
 
 
 def _env(max_moves: int) -> EnvConfig:

@@ -26,8 +26,9 @@ def main():
         "test already covers interpreter mode")
     key = jax.random.PRNGKey(0)
     for (b, n, k) in [(256, 896, 288), (256, 5184, 256)]:
-        pay = jax.random.randint(key, (b, n, 52), 0, 15, jnp.int8)
-        va = jax.random.bernoulli(key, 0.15, (b, n))
+        key, k_pay, k_va = jax.random.split(key, 3)
+        pay = jax.random.randint(k_pay, (b, n, 52), 0, 15, jnp.int8)
+        va = jax.random.bernoulli(k_va, 0.15, (b, n))
         out_s, n_s = OC.compact_rows_segmented(pay, va, k)
         out_g, n_g = OC.compact_rows(pay, va, k)
         assert bool(jnp.all(out_s == out_g)) and bool(jnp.all(n_s == n_g)), (
