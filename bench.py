@@ -180,6 +180,7 @@ def main():
     log(f"backend acquired: {len(devices)} x {devices[0].platform} "
         f"in {time.time() - t0:.1f}s")
 
+    _stage[0] = "init-and-reset-compile"
     ts = learner.init_train_state(jax.random.PRNGKey(0), model_cfg, ppo_cfg)
     env_state = bg_env.reset(jax.random.PRNGKey(1), env_cfg, num_envs)
 

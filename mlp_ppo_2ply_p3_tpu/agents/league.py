@@ -19,7 +19,13 @@ exists, fresh-init otherwise):
 - ``afterstate``: score-head afterstate policy (argmax)
 - ``twoply``:   2-ply expectimax over the same value head as ``oneply``
                 (so twoply-vs-oneply isolates the value of lookahead)
-"""
+- ``frozen``:   the committed ``frozen_v1`` benchmark net (agents.frozen)
+                played greedy 1-ply — the second fixed opponent
+
+``--params-from frozen`` evaluates the checkpoint-param agents (oneply /
+twoply / ...) with the committed frozen_v1 weights instead of a local
+checkpoint, so absolute-quality rows (e.g. twoply vs pubeval) are
+reproducible from the repo alone."""
 
 from __future__ import annotations
 
@@ -62,12 +68,34 @@ def _agent_fn(name: str, cfg):
         return (
             lambda p, s, k: twoply.twoply_actions(p, s, cfg.model, cfg.search)
         ), "params"
+    if name == "frozen":
+        from . import frozen as frozen_mod
+
+        asset = frozen_mod.load_frozen()
+        if asset is None:
+            raise SystemExit("no frozen benchmark asset committed "
+                             "(agents/assets/frozen_benchmark_v1.npz)")
+        f_params, f_cfg = asset
+        return (lambda p, s, k: basic.greedy_1ply(p, s, f_cfg)), f_params
     raise SystemExit(f"unknown agent {name!r}")
 
 
 def run_pair(cfg, pair: str, games: int, max_plies: int, seed: int,
-             params=None) -> dict:
+             params=None, params_from: str = "ckpt") -> dict:
     name_a, name_b = pair.split(":")
+    if params is None and params_from == "frozen":
+        from . import frozen as frozen_mod
+
+        asset = frozen_mod.load_frozen()
+        if asset is None:
+            raise SystemExit("--params-from frozen: no committed asset")
+        params, f_cfg = asset
+        if f_cfg != cfg.model:
+            raise SystemExit(
+                f"--params-from frozen: asset model {f_cfg} != preset "
+                f"model {cfg.model}; pick a matching --preset"
+            )
+        print("params from the committed frozen_v1 asset")
     if params is None:
         ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
         path = ckpt.latest(ckpt_dir)
@@ -121,9 +149,15 @@ def main():
     ap.add_argument("--games", type=int, default=64)
     ap.add_argument("--max-plies", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--params-from", default="ckpt",
+                    choices=("ckpt", "frozen"),
+                    help="weights for checkpoint-param agents: latest "
+                         "preset checkpoint, or the committed frozen_v1 "
+                         "asset")
     args = ap.parse_args()
     cfg = get_preset(args.preset)
-    out = run_pair(cfg, args.pair, args.games, args.max_plies, args.seed)
+    out = run_pair(cfg, args.pair, args.games, args.max_plies, args.seed,
+                   params_from=args.params_from)
     print(json.dumps(out))
 
 

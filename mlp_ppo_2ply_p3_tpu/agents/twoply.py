@@ -172,12 +172,14 @@ def _reply_leg(params, vecs, us, dance, mcfg, rcfg, chunk: int,
 
 
 @partial(jax.jit, static_argnames=("mcfg", "scfg"))
-def twoply_actions_report(params, state: bg_env.EnvState,
-                          mcfg: mlp.ModelConfig,
-                          scfg: SearchConfig = SearchConfig()):
-    """(B,) actions by 2-ply expectimax over the current legal moves,
-    plus a (B,) bool reply-movegen overflow report (doubles-only at
-    default widths; asserted by tests over >=10k positions)."""
+def _twoply_core(params, state: bg_env.EnvState,
+                 mcfg: mlp.ModelConfig,
+                 scfg: SearchConfig = SearchConfig()):
+    """(action (B,), best 2-ply backup score (B,), overflow (B,)) — see
+    ``twoply_actions_report``.  The backup score of the chosen move
+    (sum_r p_r min_reply V) is the expectimax value of the state for the
+    mover; it is the distillation target of the 2-ply-assisted learning
+    experiment (scripts/run_distill.py)."""
     k = scfg.top_k
     b = state.turn.shape[0]
     mask = bg_env.action_mask(state)  # (B, M)
@@ -243,12 +245,32 @@ def twoply_actions_report(params, state: bg_env.EnvState,
     overflow = jnp.any((of_nd | of_db).reshape(b, k), axis=1)
 
     best_k = jnp.argmax(score2, axis=-1)                # (B,)
+    best2 = jnp.take_along_axis(score2, best_k[:, None], axis=1)[:, 0]
     action = jnp.take_along_axis(top_idx, best_k[:, None], axis=1)[:, 0]
-    return action.astype(jnp.int32), overflow
+    return action.astype(jnp.int32), best2, overflow
+
+
+def twoply_actions_report(params, state: bg_env.EnvState,
+                          mcfg: mlp.ModelConfig,
+                          scfg: SearchConfig = SearchConfig()):
+    """(B,) actions by 2-ply expectimax over the current legal moves,
+    plus a (B,) bool reply-movegen overflow report (doubles-only at
+    default widths; asserted by tests over >=10k positions)."""
+    action, _, overflow = _twoply_core(params, state, mcfg, scfg)
+    return action, overflow
+
+
+def twoply_actions_values(params, state: bg_env.EnvState,
+                          mcfg: mlp.ModelConfig,
+                          scfg: SearchConfig = SearchConfig()):
+    """(action, backup score, overflow) — the expert-iteration interface
+    (the backup score is the 2-ply expectimax value of the state for the
+    mover, the value-head distillation target)."""
+    return _twoply_core(params, state, mcfg, scfg)
 
 
 def twoply_actions(params, state: bg_env.EnvState, mcfg: mlp.ModelConfig,
                    scfg: SearchConfig = SearchConfig()):
     """(B,) actions by 2-ply expectimax (see twoply_actions_report)."""
-    action, _ = twoply_actions_report(params, state, mcfg, scfg)
+    action, _, _ = _twoply_core(params, state, mcfg, scfg)
     return action

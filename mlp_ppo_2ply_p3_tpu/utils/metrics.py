@@ -19,13 +19,17 @@ class MetricsWriter:
             self._jsonl = open(jsonl_path, "a", buffering=1)
         self._tb = None
         if tb_logdir:
-            try:  # tensorboardX / tensorboard are optional in this image
-                from tensorboardX import SummaryWriter  # type: ignore
+            # torch's writer first: tensorboardX is vulnerable to global
+            # RecordWriter monkey-patching (the reference patches it for
+            # S3 at import, ppo_agent.py:23-54 — loading the reference in
+            # the same process silently breaks tensorboardX event files)
+            try:  # tensorboard backends are optional in this image
+                from torch.utils.tensorboard import SummaryWriter  # type: ignore
 
                 self._tb = SummaryWriter(log_dir=tb_logdir)
             except Exception:
                 try:
-                    from torch.utils.tensorboard import SummaryWriter  # type: ignore
+                    from tensorboardX import SummaryWriter  # type: ignore
 
                     self._tb = SummaryWriter(log_dir=tb_logdir)
                 except Exception:
