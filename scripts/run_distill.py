@@ -71,7 +71,7 @@ def collect(params, env_state, key, env_cfg, mcfg, scfg, plies):
     return out, env_state, key
 
 
-def make_update(mcfg, m, optimizer, value_coef):
+def make_update(mcfg, m, optimizer, value_coef, policy_coef):
     """Jitted minibatch distillation step."""
 
     def loss_fn(params, mb):
@@ -86,7 +86,7 @@ def make_update(mcfg, m, optimizer, value_coef):
         vloss = jnp.sum(
             jnp.where(valid, (v - target_v) ** 2, 0.0)
         ) / nvalid
-        return ce + value_coef * vloss, (ce, vloss)
+        return policy_coef * ce + value_coef * vloss, (ce, vloss)
 
     @jax.jit
     def update(params, opt_state, mb):
@@ -128,6 +128,11 @@ def main():
     ap.add_argument("--minibatch", type=int, default=1024)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--value-coef", type=float, default=1.0)
+    # policy-coef 0 = value-only distillation (train V toward the 2-ply
+    # backup, leave the policy heads alone): isolates the
+    # "expectimax backup improves the value net" question from
+    # shared-trunk CE interference
+    ap.add_argument("--policy-coef", type=float, default=1.0)
     ap.add_argument("--eval-games", type=int, default=512)
     ap.add_argument("--out", default="docs/distill_twoply.jsonl")
     args = ap.parse_args()
@@ -144,7 +149,8 @@ def main():
 
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
-    update = make_update(mcfg, m, optimizer, args.value_coef)
+    update = make_update(mcfg, m, optimizer, args.value_coef,
+                         args.policy_coef)
 
     key = jax.random.PRNGKey(17)
     key, k_env = jax.random.split(key)
