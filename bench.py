@@ -200,8 +200,10 @@ def main():
     )
     _hard_sync(metrics)
     compile_s = time.time() - t0
+    # cold compile of this graph through the remote tunnel is minutes;
+    # a persistent-cache hit replays in well under a minute
     log(f"compile+warmup done in {compile_s:.1f}s "
-        f"({'cache hit' if compile_s < 20 else 'cache miss/cold'})")
+        f"({'cache hit' if compile_s < 60 else 'cache miss/cold'})")
 
     # Measure the pure fence round-trip (device already idle) so the
     # per-update sync that makes incremental emission possible doesn't

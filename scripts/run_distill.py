@@ -71,6 +71,66 @@ def collect(params, env_state, key, env_cfg, mcfg, scfg, plies):
     return out, env_state, key
 
 
+# win reward by match points (1/2/3 -> the env's win/gammon/backgammon
+# reward scale the value head was trained on)
+_SCORE_REWARD = {1: 1.0, 2: 1.5, 3: 2.0}
+
+
+def collect_outcomes(params, env_state, key, env_cfg, mcfg, scfg, plies,
+                     gamma=0.99):
+    """2-ply self-play collection with OUTCOME-anchored value targets:
+    each state's target is the actual game result from its mover's
+    perspective, discounted by distance to the end (+-gamma^k r — the
+    quantity mover-perspective GAE converges to), instead of the net's
+    own 2-ply backup.  This is the anchored variant the pure-backup
+    negative result motivates (docs/LEARNING.md): the backup drifts
+    pessimistic because nothing in its loss touches the environment;
+    real outcomes cannot drift.  States of games unfinished at window
+    end are dropped (reported)."""
+    b = env_state.turn.shape[0]
+    bufs = {k: [] for k in ("obs", "after", "n_moves", "turn", "action")}
+    pending = [[] for _ in range(b)]  # flat state indices awaiting result
+    targets = np.zeros(plies * b, np.float32)
+    resolved = np.zeros(plies * b, bool)
+    turn_flat = np.zeros(plies * b, np.int8)
+    t_flat = np.zeros(plies * b, np.int32)
+    for t in range(plies):
+        key, k_env = jax.random.split(key)
+        action, _, _ = twoply.twoply_actions_values(
+            params, env_state, mcfg, scfg
+        )
+        turn_np = np.asarray(env_state.turn)
+        bufs["obs"].append(np.asarray(bg_env.observe(env_state)))
+        bufs["after"].append(np.asarray(env_state.after))
+        bufs["n_moves"].append(np.asarray(env_state.n_moves))
+        bufs["turn"].append(turn_np)
+        bufs["action"].append(np.asarray(action))
+        idx0 = t * b
+        turn_flat[idx0:idx0 + b] = turn_np
+        t_flat[idx0:idx0 + b] = t
+        for e in range(b):
+            pending[e].append(idx0 + e)
+        env_state, info = bg_env.step(env_state, action, k_env, env_cfg)
+        winner = np.asarray(info.winner)
+        score = np.asarray(info.game_score)
+        for e in np.nonzero(winner >= 0)[0]:
+            r = _SCORE_REWARD.get(int(score[e]), 1.0)
+            for i in pending[e]:
+                sign = 1.0 if turn_flat[i] == winner[e] else -1.0
+                targets[i] = sign * r * gamma ** (t - t_flat[i])
+                resolved[i] = True
+            pending[e] = []
+    # flatten time-major to match targets' idx0 + e layout
+    flat = {}
+    for k, v in bufs.items():
+        arr = np.stack(v, axis=0)  # (plies, B, ...)
+        flat[k] = arr.reshape(plies * b, *arr.shape[2:])
+    flat["target_v"] = targets
+    keep = resolved
+    flat = {k: v[keep] for k, v in flat.items()}
+    return flat, env_state, key, int(keep.sum()), plies * b
+
+
 def make_update(mcfg, m, optimizer, value_coef, policy_coef):
     """Jitted minibatch distillation step."""
 
@@ -134,6 +194,11 @@ def main():
     # shared-trunk CE interference
     ap.add_argument("--policy-coef", type=float, default=1.0)
     ap.add_argument("--eval-games", type=int, default=512)
+    # "backup": value targets = the net's own 2-ply expectimax backup
+    # (drifts pessimistic — the committed negative).  "outcome": real
+    # discounted game results from 2-ply self-play (anchored variant).
+    ap.add_argument("--targets", default="backup",
+                    choices=("backup", "outcome"))
     ap.add_argument("--out", default="docs/distill_twoply.jsonl")
     args = ap.parse_args()
 
@@ -169,9 +234,15 @@ def main():
 
     for it in range(1, args.iters + 1):
         t0 = time.time()
-        buf, env_state, key = collect(
-            params, env_state, key, env_cfg, mcfg, scfg, args.plies
-        )
+        if args.targets == "outcome":
+            buf, env_state, key, n_res, n_tot = collect_outcomes(
+                params, env_state, key, env_cfg, mcfg, scfg, args.plies
+            )
+            print(f"  resolved {n_res}/{n_tot} states", flush=True)
+        else:
+            buf, env_state, key = collect(
+                params, env_state, key, env_cfg, mcfg, scfg, args.plies
+            )
         t_collect = time.time() - t0
         n = buf["obs"].shape[0]
         t0 = time.time()

@@ -105,7 +105,10 @@ def test_twoply_scores_match_bruteforce():
         n = int(state.n_moves[0])
         if n == 0:
             continue
-        action = int(twoply.twoply_actions(params, state, MODEL_CFG, scfg)[0])
+        action_a, backup, _ = twoply.twoply_actions_values(
+            params, state, MODEL_CFG, scfg
+        )
+        action, backup = int(action_a[0]), float(backup[0])
         assert 0 <= action < n
 
         # brute force in numpy over ALL candidates (top_k >= n not
@@ -142,6 +145,13 @@ def test_twoply_scores_match_bruteforce():
             raise AssertionError(
                 f"2-ply picked {action} (score {scores.get(int(action))}) "
                 f"but best is {best} (score {scores[best]})"
+            )
+        # the returned backup value (the expert-iteration target,
+        # twoply_actions_values) must equal the brute-force expectimax
+        # score of the chosen candidate
+        if action in scores:
+            assert abs(backup - scores[int(action)]) < 5e-4, (
+                f"backup {backup} != bruteforce {scores[int(action)]}"
             )
         checked += 1
     assert checked >= 5
