@@ -215,6 +215,10 @@ _register(
 
 _register(
     RunConfig(
+        # Multi-host scale-out preset (BASELINE config #5).  Validated:
+        # the full num_envs=16384 batch executes one real update over
+        # the 8-virtual-device mesh in
+        # tests/test_sharding.py::test_pod_preset_one_update (slow).
         name="pod",
         env=_env(256),
         model=ModelConfig(action_size=256),
